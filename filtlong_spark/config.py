@@ -1,0 +1,142 @@
+"""Job configuration — mirror of the reference's ``Arguments``.
+
+Reference: src/arguments.h:50-92 (typed scalars + ``*_set`` booleans),
+src/arguments.cpp:53-93 (unit-suffix parsing, C7),
+src/arguments.cpp:298-394 (validation predicates, D2).
+Validation messages mirror test/test_error_messages.py:55-189.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_SUFFIX_MULTIPLIERS = {
+    "k": 1_000, "kb": 1_000,
+    "m": 1_000_000, "mb": 1_000_000,
+    "g": 1_000_000_000, "gb": 1_000_000_000,
+}
+
+
+class ConfigError(ValueError):
+    """Config validation failure (reference exits with an 'Error: ...')."""
+
+
+def parse_int_with_suffix(value: str | int | float) -> int:
+    """Parse '3.5k' -> 3500 etc. Semantics of
+    IntegerWithSuffixReader::parse_int_with_suffix (src/arguments.cpp:53-93):
+    case-insensitive k/kb/m/mb/g/gb, decimals allowed, result truncated
+    toward zero (C++ static_cast<long long>)."""
+    if isinstance(value, (int, float)):
+        return int(value)
+    if value == "":
+        raise ConfigError("Empty value")
+    lower = value.lower()
+    start = 1 if value.startswith("-") else 0
+    m = re.search(r"[^0-9.]", lower[start:])
+    if m is None:
+        # no suffix: stod then truncate
+        return int(float(value))
+    pos = start + m.start()
+    numeric, suffix = value[:pos], lower[pos:]
+    if numeric in ("", "-"):
+        raise ConfigError("No numeric value before suffix")
+    if suffix not in _SUFFIX_MULTIPLIERS:
+        raise ConfigError(f"Unknown suffix: {suffix}")
+    return int(float(numeric) * _SUFFIX_MULTIPLIERS[suffix])
+
+
+@dataclass
+class FilterConfig:
+    """All knobs of the pipeline. Field-for-field analog of Arguments
+    (src/arguments.h:50-92), domain-translated: bases -> chars,
+    reads -> documents, k-mer reference -> accepted-token reference corpus.
+    """
+
+    # hard thresholds (D1, src/arguments.cpp:161-172) — on raw metrics
+    min_length: int | None = None          # chars
+    max_length: int | None = None          # chars
+    min_mean_q: float | None = None        # 0..100
+    min_window_q: float | None = None      # 0..100
+
+    # budget (F1, src/main.cpp:228-237)
+    target_chars: int | None = None        # <- --target_bases
+    keep_percent: float | None = None      # (0, 100)
+
+    # scoring weights (C6, src/arguments.cpp:188-196)
+    length_weight: float = 1.0
+    mean_q_weight: float = 1.0
+    window_q_weight: float = 1.0
+
+    # window quality (C4, src/arguments.cpp:209-211); tokens per window
+    window_size: int = 250
+
+    # scrub (G1-G6, src/read.cpp:75-143)
+    trim: bool = False
+    split: int | None = None               # min bad-run char length
+
+    # quality-signal source: 'intrinsic' (fixed vocabulary <- Phred mode)
+    # or 'refset' (accepted set built from a reference corpus <- k-mer mode)
+    mode: str = "intrinsic"
+    vocab: frozenset[str] = field(default_factory=frozenset)
+    required_copies: int = 4               # refset count threshold (src/kmers.cpp:41)
+
+    # langid gate (A2 analog)
+    langid_enabled: bool = False
+    langid_expected: str | None = None     # quarantine docs whose pred != this
+
+    # budget algorithm: 'exact' (global window cumsum — correctness oracle)
+    # or 'approx' (score-histogram threshold + boundary-bucket refinement —
+    # the 100 TB path; SURVEY.md §2 F4)
+    budget_algorithm: str = "exact"
+
+    def __post_init__(self) -> None:
+        for f in ("min_length", "max_length", "target_chars", "split"):
+            v = getattr(self, f)
+            if isinstance(v, str):
+                setattr(self, f, parse_int_with_suffix(v))
+
+    # -- validation (D2, src/arguments.cpp:298-394) ------------------------
+    def validate(self) -> "FilterConfig":
+        any_threshold = any(v is not None for v in (
+            self.min_length, self.max_length, self.min_mean_q,
+            self.min_window_q, self.target_chars, self.keep_percent,
+        )) or self.trim or self.split is not None
+        if not any_threshold:
+            raise ConfigError(
+                "Error: no thresholds set, you must use at least one of the "
+                "following options: --min_length, --max_length, --min_mean_q, "
+                "--min_window_q, --target_bases, --keep_percent, --trim, --split")
+        if self.target_chars is not None and self.target_chars <= 0:
+            raise ConfigError("Error: the value for --target_bases must be a positive integer")
+        if self.keep_percent is not None and not (0.0 < self.keep_percent < 100.0):
+            raise ConfigError("Error: the value for --keep_percent must be greater than 0 and less than 100")
+        if self.min_length is not None and self.min_length <= 0:
+            raise ConfigError("Error: the value for --min_length must be a positive integer")
+        if self.max_length is not None and self.max_length <= 0:
+            raise ConfigError("Error: the value for --max_length must be a positive integer")
+        if self.min_mean_q is not None and self.min_mean_q <= 0:
+            raise ConfigError("Error: the value for --min_mean_q must be a positive value")
+        if self.min_window_q is not None and self.min_window_q <= 0:
+            raise ConfigError("Error: the value for --min_window_q must be a positive value")
+        if self.split is not None and self.split <= 0:
+            raise ConfigError("Error: the value for --split must be a positive integer")
+        if self.window_size <= 0:
+            raise ConfigError("Error: the value for --window_size must be a positive integer")
+        for name, w in (("--length_weight", self.length_weight),
+                        ("--mean_q_weight", self.mean_q_weight),
+                        ("--window_q_weight", self.window_q_weight)):
+            if w < 0:
+                raise ConfigError(f"Error: the value for {name} must be a positive value")
+        if (self.trim or self.split is not None) and self.mode != "refset":
+            # reference: --trim/--split require an external reference
+            # (src/arguments.cpp:298-308); web analog: scrub requires the
+            # reference corpus OR an explicit vocabulary signal
+            if not self.vocab:
+                raise ConfigError(
+                    "Error: --trim and --split require a reference corpus or vocabulary")
+        if self.mode not in ("intrinsic", "refset"):
+            raise ConfigError(f"Error: unknown mode {self.mode!r}")
+        if self.budget_algorithm not in ("exact", "approx"):
+            raise ConfigError(f"Error: unknown budget_algorithm {self.budget_algorithm!r}")
+        return self

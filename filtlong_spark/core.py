@@ -1,0 +1,254 @@
+"""Shared scoring kernels — the single source of truth for the math.
+
+These pure-Python/numpy functions are used BOTH by the Spark pandas UDFs
+(``filtlong_spark.functions.scoring``) and by the pure-Python reference
+oracle (``filtlong_spark.oracle``), so the two always agree bit-for-bit.
+
+Semantics are a faithful web-text re-expression of rrwick/Filtlong:
+
+- token quality painting  <- per-base quality / k-mer painting
+  (reference: src/read.cpp:35-58)
+- mean quality            <- Read::get_mean_quality (src/read.cpp:208-213)
+- window quality          <- Read::get_window_quality (src/read.cpp:216-236)
+- length score            <- Read::get_length_score (src/read.cpp:238-244)
+- final score             <- Read::set_final_score (src/read.cpp:247-267)
+- z-score normalization   <- src/main.cpp:169-212
+- trim/split spans        <- src/read.cpp:75-143
+
+Domain translation (SURVEY.md table): read -> document, base -> character,
+per-base Phred quality -> per-token model-quality signal, k-mer reference
+set -> accepted-token (hashed n-gram) set.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"\S+")
+
+# Half-score length: a document of this many chars scores 50.
+# Mirrors the hard-coded 5 kbp in Read::get_length_score (src/read.cpp:240).
+HALF_LENGTH_SCORE = 5000.0
+
+
+def tokenize(text: str) -> list[tuple[str, int, int]]:
+    """Tokens as (token, start_char, end_char) — maximal non-space runs.
+
+    The char offsets are what make scrubbed text byte-identical between
+    the Spark pipeline, the oracle, and the DuckDB SQL
+    (``regexp_extract_all(text, '\\S+')``).
+    """
+    return [(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(text)]
+
+
+def token_quality(tokens: list[str], accepted: set[str]) -> np.ndarray:
+    """Per-token 0/1 quality: 1.0 if the token is in the accepted set.
+
+    Web analog of quality painting: in intrinsic mode ``accepted`` is the
+    fixed vocabulary (<- Phred path, src/read.cpp:35-39); in reference mode
+    it is the broadcast accepted-n-gram set (<- k-mer painting,
+    src/read.cpp:41-58).
+    """
+    if not tokens:
+        return np.zeros(0, dtype=np.float64)
+    return np.fromiter((1.0 if t in accepted else 0.0 for t in tokens),
+                       dtype=np.float64, count=len(tokens))
+
+
+def mean_quality(q: np.ndarray) -> float:
+    """100 * mean(per-token quality). Reference: src/read.cpp:208-213.
+
+    Computed as 100*sum/n so an integer 0/1 sum divided by an int is
+    bit-identical to the SQL oracle's ``100.0*good/total``.
+    """
+    n = q.size
+    if n == 0:
+        return 0.0
+    return 100.0 * float(q.sum()) / n
+
+
+def window_quality(q: np.ndarray, window_size: int) -> float:
+    """Minimum sliding-window mean quality, x100.
+
+    Reference: Read::get_window_quality (src/read.cpp:216-236):
+    - whole-doc mean if n <= window_size
+    - else min over all windows of size ``window_size`` of the window mean
+    - snap to 0.0 if the min window mean < 0.5/window_size
+
+    Implemented as cumsum-diff (O(n)); with 0/1 qualities the window sums
+    are exact integers, so ``min(sum)/window_size`` matches the SQL
+    oracle's ``min(window_avg)`` bit-for-bit.
+    """
+    n = q.size
+    if n == 0:
+        return 0.0
+    if n <= window_size:
+        return mean_quality(q)
+    c = np.concatenate(([0.0], np.cumsum(q)))
+    window_sums = c[window_size:] - c[:-window_size]
+    min_mean = float(window_sums.min()) / window_size
+    if min_mean < 0.5 / window_size:
+        min_mean = 0.0
+    return 100.0 * min_mean
+
+
+def length_score(n_chars: int, half: float = HALF_LENGTH_SCORE) -> float:
+    """100 * n/(n+half). Reference: src/read.cpp:238-244 (written there as
+    100*(1 - half/(n+half)); this closed form is algebraically identical —
+    we standardize on 100.0*n/(n+half) in BOTH engines)."""
+    return 100.0 * n_chars / (n_chars + half)
+
+
+def window_ratio(mean_q: float, window_q: float) -> float:
+    """min(window_q/mean_q, 1), computed on PRE-normalization values
+    (src/main.cpp:203-205). Policy for mean_q == 0 (reference divides by
+    zero -> NaN): ratio = 1.0, documented in FIXTURES.md F7."""
+    if mean_q <= 0.0:
+        return 1.0
+    r = window_q / mean_q
+    return 1.0 if r > 1.0 else r
+
+
+def normalize_mean_q(mean_q: float, mu: float, sigma: float,
+                     min_q: float, max_q: float) -> float:
+    """Z-score scaling to 0..100 (src/main.cpp:169-212).
+
+    For sigma > 0 this equals 100*(mean_q - min_q)/(max_q - min_q) exactly:
+      z      = (mean_q - mu)/sigma
+      z_min  = (min_q - mu)/sigma ; z_max = (max_q - mu)/sigma
+      score  = 100*(z - z_min)/(z_max - z_min)
+             = 100*(mean_q - min_q)/(max_q - min_q)
+    We standardize on the closed form (both engines) so mu/sigma rounding
+    can never differ. sigma == 0 (all docs identical quality — the
+    reference NaNs here, src/main.cpp:186-207): policy = every doc scores
+    50.0 (FIXTURES.md F7)."""
+    if sigma <= 0.0 or max_q <= min_q:
+        return 50.0
+    return 100.0 * (mean_q - min_q) / (max_q - min_q)
+
+
+def final_score(length_s: float, mean_q_score: float, ratio: float,
+                length_weight: float = 1.0, mean_q_weight: float = 1.0,
+                window_q_weight: float = 1.0) -> float:
+    """Weighted geometric mean scaled by the window ratio.
+
+    Reference: Read::set_final_score (src/read.cpp:247-267). Inputs are the
+    NORMALIZED mean-quality score and the PRE-normalization window ratio
+    (src/main.cpp:198-212).
+
+    With default weights (1,1) the geometric mean is computed via sqrt,
+    which is IEEE-correctly-rounded in BOTH the JVM (Spark) and C (Python)
+    — so final scores are bit-identical across engines; general pow is
+    only 1-ulp-accurate on the JVM."""
+    if length_weight == 1.0 and mean_q_weight == 1.0:
+        g = math.sqrt(length_s * mean_q_score)
+    else:
+        product = (length_s ** length_weight) * (mean_q_score ** mean_q_weight)
+        g = product ** (1.0 / (length_weight + mean_q_weight))
+    total_w = length_weight + mean_q_weight + window_q_weight
+    wf = window_q_weight / total_w
+    return g * ((1.0 - wf) + ratio * wf)
+
+
+# ---------------------------------------------------------------------------
+# Scrub (trim/split) span computation — reference src/read.cpp:75-143
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ScrubResult:
+    """Child spans of a document after trim/split, in char offsets."""
+    child_spans: list[tuple[int, int]] = field(default_factory=list)
+    changed: bool = False  # True if any trimming/splitting happened
+
+
+def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
+                trim: bool, split_threshold: int | None) -> ScrubResult:
+    """Compute good child char-spans from per-token qualities.
+
+    ``spans_q`` is [(start_char, end_char, quality)] per token, in order.
+
+    - bad runs: maximal runs of consecutive quality-0 tokens; the run's
+      char span is [start of first bad token, end of last bad token)
+      (<- runs of quality-0 bases, src/read.cpp:88-103)
+    - split: a bad run becomes a bad range iff its char length >=
+      split_threshold (src/read.cpp:94-99)
+    - trim: prepend [0, first_good_start) and append [last_good_end, len)
+      (<- src/read.cpp:105-117)
+    - children: complement of bad ranges over [0, len), empty spans
+      dropped (src/read.cpp:119-130)
+
+    Returns changed=False (no children) when no bad range was found, which
+    mirrors the parent being output unchanged (src/main.cpp:140-147).
+    """
+    n = len(text)
+    bad_ranges: list[tuple[int, int]] = []
+
+    good_idx = [i for i, (_, _, q) in enumerate(spans_q) if q > 0.0]
+
+    if split_threshold is not None:
+        run_start = None
+        prev_i = None
+        for i, (s, e, q) in enumerate(spans_q):
+            if q <= 0.0:
+                if run_start is None:
+                    run_start = i
+                prev_i = i
+            else:
+                if run_start is not None:
+                    rs, re_ = spans_q[run_start][0], spans_q[prev_i][1]
+                    if re_ - rs >= split_threshold:
+                        bad_ranges.append((rs, re_))
+                    run_start = None
+        if run_start is not None:
+            rs, re_ = spans_q[run_start][0], spans_q[prev_i][1]
+            if re_ - rs >= split_threshold:
+                bad_ranges.append((rs, re_))
+
+    if trim and good_idx:
+        # no good tokens -> NO trim ranges (reference: first_base_in_kmer
+        # stays -1 and both trim conditions are false, src/read.cpp:105-117
+        # — the all-bad parent passes through and fails thresholds instead)
+        first_good = spans_q[good_idx[0]][0]
+        last_good = spans_q[good_idx[-1]][1]
+        for tr in ((0, first_good), (last_good, n)):
+            if tr[1] > tr[0] and tr not in bad_ranges:
+                bad_ranges.append(tr)
+
+    if not bad_ranges:
+        return ScrubResult(child_spans=[(0, n)], changed=False)
+
+    # sort + merge overlaps, then complement over [0, n). Documented
+    # deviation: the reference walks ranges in insertion order
+    # (src/read.cpp:119-130), which in a token world can interleave a
+    # trim range (separator-inclusive) with a split range
+    # (separator-exclusive); sort+merge resolves that corner
+    # deterministically. Both our engines use this same rule.
+    bad_ranges.sort()
+    merged: list[tuple[int, int]] = []
+    for s, e in bad_ranges:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    children: list[tuple[int, int]] = []
+    pos = 0
+    for s, e in merged:
+        if s > pos:
+            children.append((pos, s))
+        pos = max(pos, e)
+    if pos < n:
+        children.append((pos, n))
+    if not children:
+        # zero children -> the parent is kept as itself
+        # (m_child_reads.size()==0 path, src/main.cpp:140-147)
+        return ScrubResult(child_spans=[(0, n)], changed=False)
+    return ScrubResult(child_spans=children, changed=True)
+
+
+def child_name(url: str, start: int, end: int) -> str:
+    """{parent}_{start+1}-{end}, 1-based inclusive (src/read.cpp:135-136)."""
+    return f"{url}_{start + 1}-{end}"

@@ -1,0 +1,120 @@
+"""Arrow-vectorized scoring UDFs (the slow-path kernels, batched).
+
+Per-token work never materializes as a Spark column (mirrors the reference
+discarding the quality string after scoring, src/read.cpp:25-62): each
+batch is tokenized, painted against the broadcast accepted set, and reduced
+to per-doc metrics (+ child spans when scrubbing) inside one Arrow batch.
+
+All math delegates to ``filtlong_spark.core`` so the pandas UDFs and the
+pure-Python oracle are bit-identical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import core
+from ..config import FilterConfig
+
+
+def _register_self_contained_pickling() -> None:
+    """Ship the kernel code inside the UDF pickle itself.
+
+    cloudpickle serializes functions from importable modules BY REFERENCE,
+    so a Python worker that doesn't have this package on its sys.path
+    (consumer ran without --py-files) dies with ModuleNotFoundError.
+    Registering the kernel modules for by-value pickling makes every UDF
+    self-contained — the deployment still works with --py-files, it just
+    no longer requires it."""
+    import sys
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # fall back to standalone cloudpickle
+        import cloudpickle  # type: ignore
+    for mod in ("filtlong_spark.core", "filtlong_spark.functions.scoring"):
+        if mod in sys.modules:
+            cloudpickle.register_pickle_by_value(sys.modules[mod])
+
+SCORE_FIELDS = T.StructType([
+    T.StructField("n_chars", T.LongType()),
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("mean_q", T.DoubleType()),
+    T.StructField("window_q", T.DoubleType()),
+    T.StructField("ratio", T.DoubleType()),
+    T.StructField("child_spans", T.ArrayType(T.StructType([
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+    ]))),
+    T.StructField("scrubbed", T.BooleanType()),
+])
+
+
+def _score_batch(texts: pd.Series, accepted: set[str], cfg_dict: dict) -> pd.DataFrame:
+    window_size = cfg_dict["window_size"]
+    trim = cfg_dict["trim"]
+    split = cfg_dict["split"]
+    want_spans = trim or split is not None
+    out = {k: [] for k in ("n_chars", "n_tokens", "mean_q", "window_q",
+                           "ratio", "child_spans", "scrubbed")}
+    for text in texts:
+        text = text or ""
+        toks = core.tokenize(text)
+        q = core.token_quality([t for t, _, _ in toks], accepted)
+        mq = core.mean_quality(q)
+        wq = core.window_quality(q, window_size)
+        out["n_chars"].append(len(text))
+        out["n_tokens"].append(len(toks))
+        out["mean_q"].append(mq)
+        out["window_q"].append(wq)
+        out["ratio"].append(core.window_ratio(mq, wq))
+        if want_spans:
+            spans_q = [(s, e, float(q[i])) for i, (_, s, e) in enumerate(toks)]
+            res = core.scrub_spans(text, spans_q, trim, split)
+            out["child_spans"].append(
+                [{"start": s, "end": e} for s, e in res.child_spans])
+            out["scrubbed"].append(res.changed)
+        else:
+            out["child_spans"].append(None)
+            out["scrubbed"].append(False)
+    return pd.DataFrame(out)
+
+
+def make_score_udf(accepted_bc, cfg: FilterConfig):
+    """Scalar pandas UDF text -> struct of per-doc metrics.
+
+    ``accepted_bc`` is a SparkContext broadcast of the accepted-token set —
+    the web analog of the broadcast k-mer set probed per base
+    (src/kmers.cpp:170-172): a broadcast semi-join at sub-row granularity,
+    which is why it's a broadcast *variable*, not a df.join.
+    """
+    _register_self_contained_pickling()
+    cfg_dict = {"window_size": cfg.window_size, "trim": cfg.trim,
+                "split": cfg.split}
+
+    @F.pandas_udf(SCORE_FIELDS)
+    def score_udf(texts: pd.Series) -> pd.DataFrame:
+        return _score_batch(texts, accepted_bc.value, cfg_dict)
+
+    return score_udf
+
+
+def length_score_col(n_chars_col):
+    """C5 as a pure Catalyst expression (whole-stage codegen)."""
+    return 100.0 * n_chars_col / (n_chars_col + F.lit(core.HALF_LENGTH_SCORE))
+
+
+def hard_pass_col(cfg: FilterConfig):
+    """D1 hard thresholds on RAW metrics as Catalyst predicates
+    (src/read.cpp:64-73)."""
+    cond = F.lit(True)
+    if cfg.min_length is not None:
+        cond = cond & (F.col("n_chars") >= F.lit(cfg.min_length))
+    if cfg.max_length is not None:
+        cond = cond & (F.col("n_chars") <= F.lit(cfg.max_length))
+    if cfg.min_mean_q is not None:
+        cond = cond & (F.col("mean_q") >= F.lit(cfg.min_mean_q))
+    if cfg.min_window_q is not None:
+        cond = cond & (F.col("window_q") >= F.lit(cfg.min_window_q))
+    return cond

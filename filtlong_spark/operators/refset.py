@@ -1,0 +1,53 @@
+"""Reference-set construction (SURVEY.md §2B: B1-B4).
+
+The reference builds an accepted 16-mer set from an assembly (every k-mer,
+src/kmers.cpp:137-139) or short reads (count >= 4 via Bloom + count map,
+src/kmers.cpp:142-166). Here: an EXACT distributed
+``groupBy(token).count() >= required_copies`` — the Bloom/count-map staging
+is a single-machine memory trick Spark's partial+final hash aggregate
+replaces outright (strictly more faithful to the documented intent,
+README.md:282-284).
+
+Scale note (100 TB): the accepted set is collected and broadcast, exactly
+like the reference holding the k-mer set in RAM — the set size is bounded
+by the reference corpus vocabulary, not the input corpus. If it ever
+outgrows executor memory, ``accepted_df`` + a broadcast join on exploded
+tokens (see operators/score.py:quality_catalyst) is the spill path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import FilterConfig
+
+TOKENIZE_EXPR = r"regexp_extract_all(text, '\\S+', 0)"
+
+
+def tokens_df(pages: DataFrame) -> DataFrame:
+    """Explode docs to tokens (B1 analog; JVM-side regexp, no Python)."""
+    return pages.select(F.explode(F.expr(TOKENIZE_EXPR)).alias("token"))
+
+
+def accepted_df(ref_pages: DataFrame, required_copies: int) -> DataFrame:
+    """B2/B3: exact count-thresholded accepted set (partial+final hash agg;
+    one shuffle on token)."""
+    return (tokens_df(ref_pages)
+            .groupBy("token").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= required_copies)
+            .select("token", "cnt"))
+
+
+def build_broadcast(spark: SparkSession, cfg: FilterConfig,
+                    ref_pages: DataFrame | None):
+    """B4 build side: broadcast the accepted-token set for sub-row-grain
+    probing inside the scoring UDF (a broadcast semi-join at token grain)."""
+    if cfg.mode == "intrinsic":
+        accepted = set(cfg.vocab)
+    else:
+        if ref_pages is None:
+            raise ValueError("refset mode requires a reference corpus DataFrame")
+        rows = accepted_df(ref_pages, cfg.required_copies).select("token").collect()
+        accepted = {r[0] for r in rows}
+    return spark.sparkContext.broadcast(accepted)
