@@ -1,38 +1,722 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship: the full quality-filter pipeline on
+  sf0.001, returning the kept documents.
+- ``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+  the training-data extras); each callable is (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``   — exactly-mirroring DuckDB SQL for each query. All
+  compared doubles are either exact integer ratios (identical bit-for-bit
+  across engines) or explicitly rounded (cosine), so the driver's
+  value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filtlong_spark import FilterConfig
+from filtlong_spark import fixtures as fx
+from filtlong_spark.functions import textstats as ts
+from filtlong_spark.operators import dedup as dedup_op
+from filtlong_spark.operators import refset as refset_op
+from filtlong_spark.operators import score as score_op
+from filtlong_spark.operators import similarity as sim_op
+from filtlong_spark.plans.pipeline import run_filter
+from filtlong_spark.sources import tables
+
+# ---------------------------------------------------------------------------
+# shared constants (MUST stay in sync between the Spark exprs and the SQL)
+# ---------------------------------------------------------------------------
+
+VOCAB = sorted(fx.VOCAB)                       # the testdata "good" tokens
+VOCAB_SQL = ", ".join(f"'{w}'" for w in VOCAB)
+WINDOW = 50                                    # token window for window_q
+MIN_LENGTH = 100
+MAX_LENGTH = 10_000
+MIN_MEAN_Q = 90.0
+BUDGET_TARGET = 400_000                        # chars, for the budget query
+TOKENS_SQL = r"regexp_extract_all(text, '\S+')"
+DOCS = "documents"
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+
+
+def _tokens():
+    return F.expr(ts.TOKENS)
+
+
+def _good_tokens():
+    return F.size(F.filter(_tokens(), lambda t: t.isin(*VOCAB)))
+
+
+def _docs(spark, sf_dir):
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    pages = tables.documents_as_pages(spark, "/root/testdata/sf0.001")
+    cfg = FilterConfig(min_length=MIN_LENGTH, keep_percent=90.0,
+                       window_size=WINDOW, mode="intrinsic",
+                       vocab=frozenset(VOCAB), budget_algorithm="approx")
+    res = run_filter(spark, pages, cfg)
+    return res.kept.select("url", "n_chars", "n_tokens", "mean_q",
+                           "window_q", "final_score")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_hard_rules(spark, sf_dir):
+    """D1: hard thresholds on raw metrics (src/read.cpp:64-73)."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(_tokens())
+    mean_q = 100.0 * _good_tokens() / n_tok
+    return (d.select("doc_id", "n_chars",
+                     n_tok.alias("n_tokens"),
+                     _good_tokens().alias("good_tokens"),
+                     mean_q.alias("mean_q"))
+            .withColumn("keep",
+                        (F.col("n_chars") >= MIN_LENGTH)
+                        & (F.col("n_chars") <= MAX_LENGTH)
+                        & (F.col("mean_q") >= MIN_MEAN_Q))
+            .orderBy("doc_id"))
+
+
+def _scored(spark, sf_dir, with_spans=False):
+    """Score the documents table with the real pipeline UDF."""
+    # the scorer recomputes n_chars; drop the table's own copy
+    d = _docs(spark, sf_dir).drop("n_chars")
+    cfg = FilterConfig(min_length=1, window_size=WINDOW, mode="intrinsic",
+                       vocab=frozenset(VOCAB),
+                       split=3 if with_spans else None)
+    bc = refset_op.build_broadcast(spark, cfg, None)
+    return score_op.score_pandas(d, cfg, bc)
+
+
+def q_window_quality(spark, sf_dir):
+    """C3+C4: mean + sliding-min-window quality (src/read.cpp:208-236),
+    via the production pandas-UDF scorer."""
+    return (_scored(spark, sf_dir)
+            .select("doc_id", "n_tokens", "mean_q", "window_q")
+            .orderBy("doc_id"))
+
+
+def q_length_score(spark, sf_dir):
+    """C5: 100*n/(n+5000) (src/read.cpp:238-244)."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     (100.0 * F.col("n_chars")
+                      / (F.col("n_chars") + F.lit(5000.0)))
+                     .alias("length_score"))
+            .orderBy("doc_id"))
+
+
+def q_normalize_scores(spark, sf_dir):
+    """E1+E2: closed-form z-score scaling to 0..100 (src/main.cpp:169-212)."""
+    s = _scored(spark, sf_dir)
+    w = Window.partitionBy()
+    out = s.select(
+        "doc_id", "mean_q",
+        (100.0 * (F.col("mean_q") - F.min("mean_q").over(w))
+         / (F.max("mean_q").over(w) - F.min("mean_q").over(w)))
+        .alias("mean_q_score"))
+    return out.orderBy("doc_id")
+
+
+def _final_scored(spark, sf_dir):
+    s = _scored(spark, sf_dir)
+    w = Window.partitionBy()
+    mean_q_score = (100.0 * (F.col("mean_q") - F.min("mean_q").over(w))
+                    / (F.max("mean_q").over(w) - F.min("mean_q").over(w)))
+    length_s = 100.0 * F.col("n_chars") / (F.col("n_chars") + F.lit(5000.0))
+    s = (s.withColumn("mean_q_score", mean_q_score)
+         .withColumn("length_s", length_s)
+         .withColumn("final_score",
+                     F.sqrt(F.col("length_s") * F.col("mean_q_score"))
+                     * (F.lit(1.0 - 1.0 / 3.0)
+                        + F.col("ratio") * F.lit(1.0 / 3.0))))
+    return s
+
+
+def q_final_score(spark, sf_dir):
+    """C6+E3: weighted geometric mean scaled by the window ratio
+    (src/read.cpp:247-267, src/main.cpp:198-212)."""
+    return (_final_scored(spark, sf_dir)
+            .select("doc_id", "mean_q_score", "ratio", "final_score")
+            .orderBy("doc_id"))
+
+
+def q_keep_budget(spark, sf_dir):
+    """F3+F4 exact: greedy score-desc prefix with cum-before-check
+    (src/main.cpp:246-257); deterministic tiebreak doc_id asc."""
+    s = _final_scored(spark, sf_dir)
+    eligible = F.col("n_chars") >= MIN_LENGTH
+    w = (Window.orderBy(F.desc("final_score"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(
+        F.sum(F.when(eligible, F.col("n_chars"))).over(w), F.lit(0))
+    return (s.withColumn("eligible", eligible)
+            .withColumn("keep", eligible & (cum_before < BUDGET_TARGET))
+            .select("doc_id", "n_chars", "final_score", "eligible", "keep")
+            .orderBy("doc_id"))
+
+
+def q_refset_build(spark, sf_dir):
+    """B2+B3: exact count-thresholded accepted-token set
+    (src/kmers.cpp:142-166 reborn as groupBy.count >= 4)."""
+    d = _docs(spark, sf_dir)
+    return (refset_op.accepted_df(d, required_copies=4)
+            .orderBy("token"))
+
+
+def q_refset_quality(spark, sf_dir):
+    """B4+C2: per-doc quality against the corpus-built accepted set via
+    explode + broadcast join (pure Catalyst spill path)."""
+    d = _docs(spark, sf_dir)
+    acc = refset_op.accepted_df(d, required_copies=4)
+    return (score_op.quality_catalyst(d, acc, doc_key="doc_id")
+            .orderBy("doc_id"))
+
+
+def q_scrub_children(spark, sf_dir):
+    """G2+G4+G5: split-mode scrub — bad-token runs >= 3 chars become cut
+    points; children = complementary spans, named {id}_{start+1}-{end}
+    (src/read.cpp:88-141). Text returned as md5 for compact comparison."""
+    s = _scored(spark, sf_dir, with_spans=True)
+    parents = (s.filter(~F.col("scrubbed"))
+               .select(F.col("doc_id").cast("string").alias("child_id"),
+                       F.lit(0).alias("start"),
+                       F.col("n_chars").cast("int").alias("end"),
+                       F.md5(F.col("text").cast("binary")).alias("text_md5")))
+    children = (s.filter(F.col("scrubbed"))
+                .select("doc_id", "text", F.explode("child_spans").alias("sp"))
+                .select(
+                    F.concat_ws("", F.col("doc_id").cast("string"), F.lit("_"),
+                                (F.col("sp.start") + 1).cast("string"),
+                                F.lit("-"), F.col("sp.end").cast("string"))
+                    .alias("child_id"),
+                    F.col("sp.start").alias("start"),
+                    F.col("sp.end").alias("end"),
+                    F.md5(F.substring("text", F.col("sp.start") + 1,
+                                      F.col("sp.end") - F.col("sp.start"))
+                          .cast("binary")).alias("text_md5")))
+    return parents.unionByName(children).orderBy("child_id")
+
+
+def q_langid(spark, sf_dir):
+    """A2 analog: deterministic stopword-profile language ID."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", *ts.langid_cols()).orderBy("doc_id")
+
+
+def q_quality_heuristics(spark, sf_dir):
+    """Gopher/C4-style heuristic rules (north_star slot): word length,
+    stopword fraction, symbol ratio, type-token ratio + keep decision."""
+    d = _docs(spark, sf_dir)
+    n_tok = ts.n_tokens_col()
+    out = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (ts.sum_token_len_col().cast("double") / ts.n_tokens_col())
+        .alias("mean_word_len"),
+        (ts.stopword_count_col().cast("double") / ts.n_tokens_col())
+        .alias("stopword_frac"),
+        (ts.symbol_count_col().cast("double") / F.col("n_chars"))
+        .alias("symbol_ratio"),
+        (ts.distinct_token_count_col().cast("double") / ts.n_tokens_col())
+        .alias("ttr"))
+    return (out.withColumn(
+        "gopher_keep",
+        (F.col("n_tokens") >= 10) & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0) & (F.col("symbol_ratio") <= 0.1))
+        .orderBy("doc_id"))
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    d = _docs(spark, sf_dir)
+    bpe = F.size(F.expr(
+        r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+    return (d.select("doc_id", ts.n_tokens_col().alias("n_tokens"),
+                     bpe.alias("n_bpe_pieces"))
+            .orderBy("doc_id"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (web analog of the 2-bit k-mer
+    rolling encode, src/kmers.cpp:106-121)."""
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id", ts.fingerprint_col().alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return (dedup_op.exact_dupes(_docs(spark, sf_dir))
+            .orderBy("text_hash"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return (dedup_op.minhash_signatures(_docs(spark, sf_dir))
+            .orderBy("doc_id", "h"))
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    return (dedup_op.lsh_candidate_pairs(_docs(spark, sf_dir))
+            .orderBy("doc_a", "doc_b"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return (dedup_op.jaccard_pairs(_docs(spark, sf_dir))
+            .orderBy("doc_a", "doc_b"))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup_op.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ann_cosine(spark, sf_dir):
+    return (sim_op.cosine_pairs(_emb(spark, sf_dir), probe_max_id=20,
+                                threshold=0.2)
+            .orderBy("probe_id", "vec_id"))
+
+
+def q_ann_topk(spark, sf_dir):
+    return (sim_op.cosine_topk(_emb(spark, sf_dir), probe_max_id=10, k=5)
+            .orderBy("probe_id", "rank"))
+
+
+def q_dup_check(spark, sf_dir):
+    """A4: duplicate-key data-quality gate (src/main.cpp:113-117)."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy("doc_id").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1).orderBy("doc_id"))
+
+
+def q_lang_profile(spark, sf_dir):
+    """Per-language corpus profile — all ratios of exact integer sums."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang", "n_chars",
+        ts.n_tokens_col().alias("n_tok"),
+        _good_tokens().alias("good"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("chars"),
+                 F.sum("n_tok").alias("tokens"),
+                 (100.0 * F.sum("good") / F.sum("n_tok")).alias("mean_q"))
+            .orderBy("lang"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "hard_rules": q_hard_rules,
+        "window_quality": q_window_quality,
+        "length_score": q_length_score,
+        "normalize_scores": q_normalize_scores,
+        "final_score": q_final_score,
+        "keep_budget": q_keep_budget,
+        "refset_build": q_refset_build,
+        "refset_quality": q_refset_quality,
+        "scrub_children": q_scrub_children,
+        "langid": q_langid,
+        "quality_heuristics": q_quality_heuristics,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_topk": q_ann_topk,
+        "dup_check": q_dup_check,
+        "lang_profile": q_lang_profile,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — each mirrors its query EXACTLY (same arithmetic order)
+# ---------------------------------------------------------------------------
+
+_MEAN_Q = (f"100.0 * len(list_filter({TOKENS_SQL}, t -> t IN ({VOCAB_SQL})))"
+           f" / len({TOKENS_SQL})")
+
+_WINDOW_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok,
+         generate_subscripts({TOKENS_SQL}, 1) AS pos
+  FROM {DOCS}
+),
+q AS (
+  SELECT doc_id, pos,
+         CASE WHEN tok IN ({VOCAB_SQL}) THEN 1 ELSE 0 END AS ok,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM toks
+),
+wsums AS (
+  SELECT doc_id, pos, n,
+         sum(ok) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINDOW - 1} FOLLOWING)
+           AS wsum,
+         sum(ok) OVER (PARTITION BY doc_id) AS total_ok
+  FROM q
+),
+winq AS (
+  SELECT doc_id,
+         max(n) AS n_tokens,
+         100.0 * max(total_ok) / max(n) AS mean_q,
+         CASE WHEN max(n) <= {WINDOW}
+              THEN 100.0 * max(total_ok) / max(n)
+              ELSE CASE WHEN (min(wsum) FILTER (WHERE pos <= n - {WINDOW} + 1)
+                              / {WINDOW}.0) < 0.5 / {WINDOW}.0
+                        THEN 0.0
+                        ELSE 100.0 * (min(wsum) FILTER (WHERE pos <= n - {WINDOW} + 1)
+                                      / {WINDOW}.0)
+                   END
+         END AS window_q
+  FROM wsums
+  GROUP BY doc_id
+)"""
+
+_RATIO = ("CASE WHEN mean_q <= 0.0 THEN 1.0 "
+          "WHEN window_q / mean_q > 1.0 THEN 1.0 "
+          "ELSE window_q / mean_q END")
+
+_FINAL_CTE = f"""
+WITH {_WINDOW_CTE},
+normed AS (
+  SELECT w.doc_id, d.n_chars, w.mean_q, w.window_q,
+         {_RATIO} AS ratio,
+         100.0 * (w.mean_q - min(w.mean_q) OVER ())
+           / (max(w.mean_q) OVER () - min(w.mean_q) OVER ()) AS mean_q_score,
+         100.0 * d.n_chars / (d.n_chars + 5000.0) AS length_s
+  FROM winq w JOIN {DOCS} d USING (doc_id)
+),
+finals AS (
+  SELECT *,
+         sqrt(length_s * mean_q_score)
+           * ((1.0 - 1.0/3.0) + ratio * (1.0/3.0)) AS final_score
+  FROM normed
+)"""
+
+_SHINGLE3 = ("list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+             "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+_SHINGLE5 = ("list_transform(generate_series(1, greatest(len(toks) - 4, 0)), "
+             "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+             "toks[i+3] || ' ' || toks[i+4])")
+
+_COS_PAIR_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id,
+         round(
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(p.v)),
+                            i -> p.v[i] * c.v[i])), (a,b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                list_transform(p.v, x -> x*x)), (a,b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0,
+                list_transform(c.v, x -> x*x)), (a,b) -> a + b))), 6) AS cos
+  FROM e p JOIN e c ON p.vec_id < c.vec_id
+  WHERE p.vec_id <= {probe_max}
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["hard_rules"] = f"""
+SELECT doc_id, n_chars,
+       len({TOKENS_SQL}) AS n_tokens,
+       len(list_filter({TOKENS_SQL}, t -> t IN ({VOCAB_SQL}))) AS good_tokens,
+       {_MEAN_Q} AS mean_q,
+       n_chars >= {MIN_LENGTH} AND n_chars <= {MAX_LENGTH}
+         AND {_MEAN_Q} >= {MIN_MEAN_Q} AS keep
+FROM {DOCS} ORDER BY doc_id"""
+
+    sql["window_quality"] = f"""
+WITH {_WINDOW_CTE}
+SELECT doc_id, n_tokens, mean_q, window_q FROM winq ORDER BY doc_id"""
+
+    sql["length_score"] = f"""
+SELECT doc_id, 100.0 * n_chars / (n_chars + 5000.0) AS length_score
+FROM {DOCS} ORDER BY doc_id"""
+
+    sql["normalize_scores"] = f"""
+WITH {_WINDOW_CTE}
+SELECT doc_id, mean_q,
+       100.0 * (mean_q - min(mean_q) OVER ())
+         / (max(mean_q) OVER () - min(mean_q) OVER ()) AS mean_q_score
+FROM winq ORDER BY doc_id"""
+
+    sql["final_score"] = f"""
+{_FINAL_CTE}
+SELECT doc_id, mean_q_score, ratio, final_score FROM finals ORDER BY doc_id"""
+
+    sql["keep_budget"] = f"""
+{_FINAL_CTE},
+cum AS (
+  SELECT doc_id, n_chars, final_score,
+         n_chars >= {MIN_LENGTH} AS eligible,
+         coalesce(sum(CASE WHEN n_chars >= {MIN_LENGTH} THEN n_chars END)
+           OVER (ORDER BY final_score DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM finals
+)
+SELECT doc_id, n_chars, final_score, eligible,
+       eligible AND cum_before < {BUDGET_TARGET} AS keep
+FROM cum ORDER BY doc_id"""
+
+    sql["refset_build"] = f"""
+WITH toks AS (SELECT unnest({TOKENS_SQL}) AS token FROM {DOCS})
+SELECT token, count(*) AS cnt FROM toks
+GROUP BY token HAVING count(*) >= 4 ORDER BY token"""
+
+    sql["refset_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM {DOCS}
+),
+acc AS (
+  SELECT token FROM toks GROUP BY token HAVING count(*) >= 4
+),
+j AS (
+  SELECT t.doc_id, CASE WHEN a.token IS NULL THEN 0 ELSE 1 END AS hit
+  FROM toks t LEFT JOIN acc a USING (token)
+)
+SELECT doc_id, count(*) AS n_tokens, sum(hit)::BIGINT AS good_tokens,
+       100.0 * sum(hit) / count(*) AS mean_q
+FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+    # scrub: single-space tokenization -> char offsets derivable in SQL
+    sql["scrub_children"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok,
+         generate_subscripts({TOKENS_SQL}, 1) AS pos
+  FROM {DOCS}
+),
+pos AS (
+  SELECT doc_id, tok, pos,
+         sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           + (pos - 1) AS start_c,
+         sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY pos)
+           + (pos - 1) AS end_c,
+         tok NOT IN ({VOCAB_SQL}) AS bad
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, pos, start_c, end_c, bad,
+         pos - row_number() OVER (PARTITION BY doc_id, bad ORDER BY pos)
+           AS grp
+  FROM pos
+),
+bad_runs AS (
+  SELECT doc_id, min(coalesce(start_c, 0)) AS bs, max(end_c) AS be
+  FROM runs WHERE bad GROUP BY doc_id, grp
+  HAVING max(end_c) - min(coalesce(start_c, 0)) >= 3
+),
+doc_len AS (SELECT doc_id, n_chars, text FROM {DOCS}),
+edges AS (
+  SELECT d.doc_id, d.n_chars, d.text, b.bs, b.be,
+         coalesce(lag(b.be) OVER (PARTITION BY d.doc_id ORDER BY b.bs), 0)
+           AS prev_end
+  FROM doc_len d JOIN bad_runs b USING (doc_id)
+),
+spans AS (
+  SELECT doc_id, n_chars, text, prev_end AS s, bs AS e FROM edges
+  UNION ALL
+  SELECT doc_id, n_chars, text, max(be) AS s, max(n_chars) AS e
+  FROM edges GROUP BY doc_id, n_chars, text
+),
+children AS (
+  SELECT doc_id::VARCHAR || '_' || (s + 1)::VARCHAR || '-' || e::VARCHAR
+           AS child_id,
+         s::INT AS start, e::INT AS "end",
+         md5(substr(text, s::INT + 1, e::INT - s::INT)) AS text_md5
+  FROM spans WHERE e > s
+),
+parents AS (
+  SELECT doc_id::VARCHAR AS child_id, 0 AS start, n_chars::INT AS "end",
+         md5(text) AS text_md5
+  FROM doc_len WHERE doc_id NOT IN (SELECT doc_id FROM bad_runs)
+)
+SELECT * FROM parents UNION ALL SELECT * FROM children ORDER BY child_id"""
+
+    lang_cases = []
+    langs = sorted(ts.LANG_MARKERS)
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in ts.LANG_MARKERS[lang])
+        lang_cases.append(
+            f"len(list_filter({TOKENS_SQL}, t -> t IN ({words}))) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    total = " + ".join(f"s_{l}" for l in langs)
+    sql["langid"] = f"""
+WITH s AS (SELECT doc_id, {', '.join(lang_cases)} FROM {DOCS})
+SELECT doc_id, {pred} AS lang_pred,
+       CASE WHEN ({total}) > 0
+            THEN {best}::DOUBLE / ({total}) ELSE 0.0 END AS lang_conf
+FROM s ORDER BY doc_id"""
+
+    sql["quality_heuristics"] = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         len({TOKENS_SQL}) AS n_tokens,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform({TOKENS_SQL}, t -> len(t)::BIGINT)),
+           (a, b) -> a + b) AS sum_len,
+         len(list_filter({TOKENS_SQL}, t -> t IN ({_STOP_SQL}))) AS stop,
+         len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS symbols,
+         len(list_distinct({TOKENS_SQL})) AS n_distinct
+  FROM {DOCS}
+)
+SELECT doc_id, n_tokens,
+       sum_len::DOUBLE / n_tokens AS mean_word_len,
+       stop::DOUBLE / n_tokens AS stopword_frac,
+       symbols::DOUBLE / n_chars AS symbol_ratio,
+       n_distinct::DOUBLE / n_tokens AS ttr,
+       n_tokens >= 10 AND sum_len::DOUBLE / n_tokens >= 2.0
+         AND sum_len::DOUBLE / n_tokens <= 12.0
+         AND symbols::DOUBLE / n_chars <= 0.1 AS gopher_keep
+FROM s ORDER BY doc_id"""
+
+    sql["token_count"] = f"""
+SELECT doc_id, len({TOKENS_SQL}) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS n_bpe_pieces
+FROM {DOCS} ORDER BY doc_id"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform({TOKENS_SQL},
+           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM {DOCS} ORDER BY doc_id"""
+
+    sql["dedup_exact"] = f"""
+SELECT md5(replace(text, ' dup', '')) AS text_hash,
+       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM {DOCS} GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash"""
+
+    sql["dedup_minhash"] = f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE3}) AS shingle FROM d
+),
+perms AS (
+  SELECT doc_id, h, md5(h::VARCHAR || ':' || shingle) AS hval
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.N_HASHES - 1})) AS h)
+)
+SELECT doc_id, h, min(hval) AS minhash
+FROM perms GROUP BY doc_id, h ORDER BY doc_id, h"""
+
+    sql["dedup_lsh_pairs"] = f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE3}) AS shingle FROM d
+),
+perms AS (
+  SELECT doc_id, h, md5(h::VARCHAR || ':' || shingle) AS hval
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.N_HASHES - 1})) AS h)
+),
+sig AS (SELECT doc_id, h, min(hval) AS minhash FROM perms GROUP BY doc_id, h),
+bands AS (
+  SELECT doc_id, h // {dedup_op.BAND_ROWS} AS band,
+         string_agg(h::VARCHAR || ':' || minhash, '|' ORDER BY
+                    h::VARCHAR || ':' || minhash) AS band_key
+  FROM sig GROUP BY doc_id, h // {dedup_op.BAND_ROWS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+    sql["dedup_jaccard"] = f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE5}) AS shingle FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+ORDER BY doc_a, doc_b"""
+
+    sql["simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM {DOCS}
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (('0x' || substr(md5(tok), 1, 4))::BIGINT >> b) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.SIMHASH_BITS - 1})) AS b)
+),
+votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+         AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id"""
+
+    sql["ann_cosine"] = (_COS_PAIR_SQL.format(probe_max=20)
+                         + "SELECT probe_id, vec_id, cos FROM pairs "
+                           "WHERE cos >= 0.2 ORDER BY probe_id, vec_id")
+
+    sql["ann_topk"] = (_COS_PAIR_SQL.format(probe_max=10) + """
+, ranked AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT probe_id, vec_id, cos, rank FROM ranked
+WHERE rank <= 5 ORDER BY probe_id, rank""")
+
+    sql["dup_check"] = f"""
+SELECT doc_id, count(*) AS n FROM {DOCS}
+GROUP BY doc_id HAVING count(*) > 1 ORDER BY doc_id"""
+
+    sql["lang_profile"] = f"""
+WITH per AS (
+  SELECT lang, n_chars,
+         len({TOKENS_SQL}) AS n_tok,
+         len(list_filter({TOKENS_SQL}, t -> t IN ({VOCAB_SQL}))) AS good
+  FROM {DOCS}
+)
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+       sum(n_tok)::BIGINT AS tokens,
+       100.0 * sum(good) / sum(n_tok) AS mean_q
+FROM per GROUP BY lang ORDER BY lang"""
+
+    return sql
