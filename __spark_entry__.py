@@ -48,14 +48,6 @@ DOCS = "documents"
 _STOP_SQL = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
 
 
-def _tokens():
-    return F.expr(ts.TOKENS)
-
-
-def _good_tokens():
-    return F.size(F.filter(_tokens(), lambda t: t.isin(*VOCAB)))
-
-
 def _docs(spark, sf_dir):
     return tables.load(spark, sf_dir, "documents")
 
@@ -83,14 +75,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_hard_rules(spark, sf_dir):
-    """D1: hard thresholds on raw metrics (src/read.cpp:64-73)."""
+    """D1: hard thresholds on raw metrics (src/read.cpp:64-73). Token
+    stats via explode + hash aggregate (codegen; no interpreted HOFs)."""
     d = _docs(spark, sf_dir)
-    n_tok = F.size(_tokens())
-    mean_q = 100.0 * _good_tokens() / n_tok
-    return (d.select("doc_id", "n_chars",
-                     n_tok.alias("n_tokens"),
-                     _good_tokens().alias("good_tokens"),
-                     mean_q.alias("mean_q"))
+    st = ts.token_stats(d, VOCAB)
+    mean_q = 100.0 * F.col("good_tokens") / F.col("n_tokens")
+    return (d.select("doc_id", "n_chars")
+            .join(st.select("doc_id", "n_tokens", "good_tokens"), "doc_id")
+            .withColumn("mean_q", mean_q)
             .withColumn("keep",
                         (F.col("n_chars") >= MIN_LENGTH)
                         & (F.col("n_chars") <= MAX_LENGTH)
@@ -222,25 +214,28 @@ def q_scrub_children(spark, sf_dir):
 def q_langid(spark, sf_dir):
     """A2 analog: deterministic stopword-profile language ID."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", *ts.langid_cols()).orderBy("doc_id")
+    st = ts.langid_from_stats(ts.token_stats(d, VOCAB))
+    return st.select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")
 
 
 def q_quality_heuristics(spark, sf_dir):
     """Gopher/C4-style heuristic rules (north_star slot): word length,
     stopword fraction, symbol ratio, type-token ratio + keep decision."""
     d = _docs(spark, sf_dir)
-    n_tok = ts.n_tokens_col()
-    out = d.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        (ts.sum_token_len_col().cast("double") / ts.n_tokens_col())
-        .alias("mean_word_len"),
-        (ts.stopword_count_col().cast("double") / ts.n_tokens_col())
-        .alias("stopword_frac"),
-        (ts.symbol_count_col().cast("double") / F.col("n_chars"))
-        .alias("symbol_ratio"),
-        (ts.distinct_token_count_col().cast("double") / ts.n_tokens_col())
-        .alias("ttr"))
+    st = ts.token_stats(d, VOCAB)
+    out = (d.select("doc_id", "n_chars",
+                    ts.symbol_count_col().alias("symbols"))
+           .join(st, "doc_id")
+           .select(
+               "doc_id", "n_tokens",
+               (F.col("sum_token_len").cast("double") / F.col("n_tokens"))
+               .alias("mean_word_len"),
+               (F.col("stop_count").cast("double") / F.col("n_tokens"))
+               .alias("stopword_frac"),
+               (F.col("symbols").cast("double") / F.col("n_chars"))
+               .alias("symbol_ratio"),
+               (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+               .alias("ttr")))
     return (out.withColumn(
         "gopher_keep",
         (F.col("n_tokens") >= 10) & (F.col("mean_word_len") >= 2.0)
@@ -261,9 +256,7 @@ def q_token_count(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (web analog of the 2-bit k-mer
     rolling encode, src/kmers.cpp:106-121)."""
-    d = _docs(spark, sf_dir)
-    return (d.select("doc_id", ts.fingerprint_col().alias("fingerprint"))
-            .orderBy("doc_id"))
+    return ts.fingerprint_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -311,10 +304,11 @@ def q_dup_check(spark, sf_dir):
 def q_lang_profile(spark, sf_dir):
     """Per-language corpus profile — all ratios of exact integer sums."""
     d = _docs(spark, sf_dir)
-    per_doc = d.select(
-        "lang", "n_chars",
-        ts.n_tokens_col().alias("n_tok"),
-        _good_tokens().alias("good"))
+    st = ts.token_stats(d, VOCAB)
+    per_doc = (d.select("doc_id", "lang", "n_chars")
+               .join(st.select("doc_id",
+                               F.col("n_tokens").alias("n_tok"),
+                               F.col("good_tokens").alias("good")), "doc_id"))
     return (per_doc.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("chars"),

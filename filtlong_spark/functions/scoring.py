@@ -33,7 +33,9 @@ def _register_self_contained_pickling() -> None:
         from pyspark import cloudpickle
     except ImportError:  # fall back to standalone cloudpickle
         import cloudpickle  # type: ignore
-    for mod in ("filtlong_spark.core", "filtlong_spark.functions.scoring"):
+    for mod in ("filtlong_spark.core", "filtlong_spark.functions.scoring",
+                "filtlong_spark.operators.similarity",
+                "filtlong_spark.operators.dedup"):
         if mod in sys.modules:
             cloudpickle.register_pickle_by_value(sys.modules[mod])
 
@@ -98,6 +100,75 @@ def make_score_udf(accepted_bc, cfg: FilterConfig):
         return _score_batch(texts, accepted_bc.value, cfg_dict)
 
     return score_udf
+
+
+READS2_SCHEMA = ("url string, warc_ts timestamp, lang string, text string, "
+                 "n_chars long, n_tokens long, mean_q double, "
+                 "window_q double, ratio double, "
+                 "child_start int, is_child boolean")
+
+
+def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
+    """One fused mapInPandas pass: score each doc, compute trim/split child
+    spans, and emit either the scored parent or the fully re-scored
+    children — mirroring the recursive Read constructor
+    (src/read.cpp:25-143) where children are built and scored inline.
+
+    Fusing scoring + scrub + child re-scoring into a single Python stage
+    avoids the naive plan (UDF -> explode -> second UDF -> union of two
+    Python branches): one narrow stage, no shuffle, one worker pass.
+    """
+    _register_self_contained_pickling()
+    window_size = cfg.window_size
+    trim, split = cfg.trim, cfg.split
+    scrub = trim or split is not None
+
+    def score_one(url, text):
+        toks = core.tokenize(text)
+        q = core.token_quality([t for t, _, _ in toks], accepted_bc.value)
+        mq = core.mean_quality(q)
+        wq = core.window_quality(q, window_size)
+        return toks, q, mq, wq
+
+    def mapper(batches):
+        import pandas as pd  # noqa: F811 (worker-side)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "warc_ts", "lang", "text", "n_chars", "n_tokens",
+                "mean_q", "window_q", "ratio", "child_start", "is_child")}
+
+            def emit(url, ts, lang, text, toks, q, mq, wq, start, child):
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["lang"].append(lang)
+                out["text"].append(text)
+                out["n_chars"].append(len(text))
+                out["n_tokens"].append(len(toks))
+                out["mean_q"].append(mq)
+                out["window_q"].append(wq)
+                out["ratio"].append(core.window_ratio(mq, wq))
+                out["child_start"].append(start)
+                out["is_child"].append(child)
+
+            for url, ts, lang, text in zip(pdf["url"], pdf["warc_ts"],
+                                           pdf["lang"], pdf["text"]):
+                text = text or ""
+                toks, q, mq, wq = score_one(url, text)
+                if scrub:
+                    spans_q = [(s, e, float(q[i]))
+                               for i, (_, s, e) in enumerate(toks)]
+                    res = core.scrub_spans(text, spans_q, trim, split)
+                    if res.changed:
+                        for (s, e) in res.child_spans:
+                            ctext = text[s:e]
+                            ctoks, cq, cmq, cwq = score_one(url, ctext)
+                            emit(core.child_name(url, s, e), ts, lang, ctext,
+                                 ctoks, cq, cmq, cwq, s, True)
+                        continue
+                emit(url, ts, lang, text, toks, q, mq, wq, 0, False)
+            yield pd.DataFrame(out)
+
+    return mapper, READS2_SCHEMA
 
 
 def length_score_col(n_chars_col):

@@ -1,7 +1,13 @@
 """Text-analysis functions: quality heuristics, language-ID, token counting,
-document fingerprinting. All pure Catalyst expressions (whole-stage codegen,
-no Python in the hot path); each has an exactly-mirroring ANSI/DuckDB SQL
-so the driver's oracle can verify values bit-for-bit.
+document fingerprinting.
+
+Physical design note: array higher-order functions (transform/filter/
+aggregate) are INTERPRETED in Spark — no whole-stage codegen — and showed
+pathological JIT variance (2s..150s for identical plans) in this
+environment. Every per-token computation here is therefore expressed as
+explode + conditional aggregation (fully codegen'd, one shuffle on doc_id)
+or as an Arrow-batched pandas UDF. Each operator has an exactly-mirroring
+DuckDB SQL in __spark_entry__.py producing bit-identical values.
 
 These are the Gopher/C4-style heuristic-rule slot of the north_star (the
 web rendering of Filtlong's hard thresholds, src/read.cpp:64-73) plus the
@@ -11,12 +17,14 @@ src/main.cpp:92-106).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKENS = r"regexp_extract_all(text, '\\S+', 0)"
 
-# Stopword marker sets for the heuristic language-ID (deterministic n-gram/
+# Stopword marker sets for the heuristic language-ID (deterministic
 # stopword profile — the fastText slot; fastText itself isn't in this
 # container, so the gate is a transparent heuristic with the same shape).
 LANG_MARKERS = {
@@ -37,72 +45,79 @@ def n_tokens_col() -> Column:
     return F.size(tokens_col())
 
 
-def sum_token_len_col() -> Column:
-    """Sum of token lengths (exact integer; JVM-side fold)."""
-    return F.aggregate(tokens_col(), F.lit(0).cast("long"),
-                       lambda acc, t: acc + F.length(t))
+def exploded_tokens(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, tok) — one shuffle-free narrow explode; every per-token stat
+    aggregates over this."""
+    return docs.select(key, F.explode(tokens_col()).alias("tok"))
 
 
-def mean_word_len_col() -> Column:
-    return sum_token_len_col().cast("double") / n_tokens_col()
-
-
-def stopword_count_col(words=STOPWORDS) -> Column:
-    return F.size(F.filter(tokens_col(), lambda t: t.isin(*words)))
-
-
-def distinct_token_count_col() -> Column:
-    return F.size(F.array_distinct(tokens_col()))
+def token_stats(docs: DataFrame, vocab, key: str = "doc_id") -> DataFrame:
+    """All per-token statistics in ONE explode + hash aggregate (partial
+    aggregation map-side, codegen end-to-end):
+    n_tokens, good_tokens (vocab hits), sum_token_len, stop_count,
+    n_distinct, per-language marker counts."""
+    toks = exploded_tokens(docs, key)
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tok").isin(*vocab), 1).otherwise(0))
+        .alias("good_tokens"),
+        F.sum(F.length("tok").cast("long")).alias("sum_token_len"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0))
+        .alias("stop_count"),
+        F.countDistinct("tok").alias("n_distinct"),
+    ]
+    for lang, words in sorted(LANG_MARKERS.items()):
+        aggs.append(F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0))
+                    .alias(f"s_{lang}"))
+    return toks.groupBy(key).agg(*aggs)
 
 
 def symbol_count_col() -> Column:
-    """Chars that are not alphanumeric or space."""
+    """Chars that are not alphanumeric or space (codegen'd regexp)."""
     return F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
 
 
-def _isin(words):
-    # single-arg closure: a 2-arg lambda would be bound as (element, index)
-    # by the higher-order-function machinery
-    def fn(t):
-        return t.isin(*words)
-    return fn
-
-
-def lang_scores() -> dict[str, Column]:
-    return {lang: F.size(F.filter(tokens_col(), _isin(words)))
-            for lang, words in LANG_MARKERS.items()}
-
-
-def langid_cols() -> list[Column]:
-    """lang_pred + lang_conf via argmax over marker counts; deterministic
-    lexicographic tiebreak (greatest-count, first-alphabetical wins)."""
-    scores = lang_scores()
-    langs = sorted(scores)  # de, en, es, fr — tie -> alphabetical
-    best = F.greatest(*[scores[l] for l in langs])
+def langid_from_stats(stats: DataFrame) -> DataFrame:
+    """lang_pred + lang_conf via argmax over the marker counts computed by
+    token_stats; deterministic alphabetical tiebreak."""
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
     pred = F.lit("und")
-    # build reversed so earlier-alphabetical wins ties
     for l in reversed(langs):
-        pred = F.when(scores[l] == best, F.lit(l)).otherwise(pred)
+        pred = F.when(F.col(f"s_{l}") == best, F.lit(l)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    total = sum([scores[l] for l in langs], F.lit(0))
+    total = None
+    for l in langs:
+        total = F.col(f"s_{l}") if total is None else total + F.col(f"s_{l}")
     conf = F.when(total > 0, best.cast("double") / total).otherwise(F.lit(0.0))
-    return [pred.alias("lang_pred"), conf.alias("lang_conf")]
+    return stats.withColumn("lang_pred", pred).withColumn("lang_conf", conf)
 
 
 FINGERPRINT_MOD = 1_000_000_007
 
 
-def token_hash(t: Column) -> Column:
-    """First 8 hex chars of md5 as a bigint (< 2^32) — identical in Spark
-    (conv) and DuckDB (('0x'||substr(md5(t),1,8))::BIGINT)."""
-    return F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+def fingerprint_df(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over token hashes:
+    acc = (acc*31 + h) % 1e9+7, h = first 8 md5 hex chars as int — the web
+    analog of the reference's rolling 2-bit k-mer encode
+    (src/kmers.cpp:106-121). Arrow-batched pandas UDF: the fold is
+    sequential by definition; Python ints keep it exact (matches the
+    DuckDB list_reduce oracle bit-for-bit)."""
+    import hashlib
 
+    from .scoring import _register_self_contained_pickling
+    from .. import core
+    _register_self_contained_pickling()
 
-def fingerprint_col() -> Column:
-    """Order-sensitive rolling hash over token hashes:
-    acc = (acc*31 + h) % 1e9+7 — a polynomial rolling fingerprint
-    (the web analog of the reference's rolling 2-bit k-mer encode,
-    src/kmers.cpp:106-121). Exact integer math in both engines."""
-    hashes = F.transform(tokens_col(), token_hash)
-    return F.aggregate(hashes, F.lit(0).cast("long"),
-                       lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD)
+    @F.pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            acc = 0
+            for m in core.TOKEN_RE.finditer(text or ""):
+                h = int(hashlib.md5(m.group(0).encode()).hexdigest()[:8], 16)
+                acc = (acc * 31 + h) % FINGERPRINT_MOD
+            out.append(acc)
+        return pd.Series(out, dtype="int64")
+
+    return docs.select(key, fp(F.col("text")).alias("fingerprint"))

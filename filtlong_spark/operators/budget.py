@@ -41,9 +41,11 @@ def compute_target(cfg: FilterConfig, total_input_chars: int) -> int | None:
 
 
 def apply_budget(reads2: DataFrame, cfg: FilterConfig,
-                 total_input_chars: int) -> DataFrame:
+                 total_input_chars: int,
+                 passed_chars: int | None = None) -> DataFrame:
     """Adds the final ``passed`` column. reads2 must carry final_score,
-    n_chars, hard_passed, url."""
+    n_chars, hard_passed, url. ``passed_chars`` may be precomputed (the
+    pipeline piggybacks it on the normalization stats job)."""
     target = compute_target(cfg, total_input_chars)
     if target is None:
         return reads2.withColumn("passed", F.col("hard_passed"))
@@ -52,8 +54,9 @@ def apply_budget(reads2: DataFrame, cfg: FilterConfig,
     # the expensive job entirely
     if target >= total_input_chars:
         return reads2.withColumn("passed", F.col("hard_passed"))
-    passed_chars = (reads2.filter("hard_passed")
-                    .agg(F.sum("n_chars")).collect()[0][0]) or 0
+    if passed_chars is None:
+        passed_chars = (reads2.filter("hard_passed")
+                        .agg(F.sum("n_chars")).collect()[0][0]) or 0
     if target >= passed_chars:
         return reads2.withColumn("passed", F.col("hard_passed"))
 

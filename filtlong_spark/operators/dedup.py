@@ -18,19 +18,76 @@ engines, no float ambiguity except cosine, which is rounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
-
-from ..functions.textstats import token_hash
+from pyspark.sql import DataFrame, Window, functions as F
 
 NORM_EXPR = "replace(text, ' dup', '')"  # testdata near-dup normalizer
 
 
-def shingles_col(n: int = 3):
-    """Word n-gram shingles as strings (space-joined)."""
-    toks = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + k) for k in range(n)]))
+def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle): distinct word n-gram shingles per doc, built
+    MAP-SIDE in an Arrow-batched pandas pass — zero shuffle, parallelism =
+    input partitions. (Both alternatives measured far worse: array-HOF
+    shingling is interpreted per element, and a lead()-window formulation
+    shuffles and then AQE coalesces the tiny-by-bytes but CPU-heavy
+    downstream md5 work onto 1-2 tasks.)"""
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    def mapper(batches):
+        from .. import core
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [m.group(0) for m in core.TOKEN_RE.finditer(text or "")]
+                seen = {" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)}
+                ids.extend([doc_id] * len(seen))
+                shingles.extend(seen)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        mapper, schema="doc_id long, shingle string")
+
+
+def minhash_wide(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh7): the full minhash signature computed MAP-ONLY in
+    one Arrow pass — shingle, hash with hashlib md5 (C speed), take the
+    lexicographic min per seed in Python. No shuffle anywhere: at corpus
+    scale signatures are embarrassingly parallel over input partitions;
+    the only shuffle dedup ever needs is the LSH bucket join."""
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    n = shingle_n
+
+    def mapper(batches):
+        import hashlib
+
+        from .. import core
+        for pdf in batches:
+            out = {"doc_id": []}
+            for h in range(N_HASHES):
+                out[f"mh{h}"] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [m.group(0) for m in core.TOKEN_RE.finditer(text or "")]
+                seen = {" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)}
+                if not seen:
+                    continue
+                out["doc_id"].append(doc_id)
+                for h in range(N_HASHES):
+                    pre = f"{h}:".encode()
+                    out[f"mh{h}"].append(min(
+                        hashlib.md5(pre + s.encode()).hexdigest()
+                        for s in seen))
+            yield pd.DataFrame(out)
+
+    schema = ("doc_id long, "
+              + ", ".join(f"mh{h} string" for h in range(N_HASHES)))
+    return docs.select("doc_id", "text").mapInPandas(mapper, schema=schema)
 
 
 def exact_dupes(docs: DataFrame, key_expr: str = NORM_EXPR) -> DataFrame:
@@ -52,19 +109,10 @@ def minhash_signatures(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """(doc_id, h (0..7), minhash): minhash_i = lexicographic min over the
     doc's shingles of md5(i || ':' || shingle). Explode + groupBy min —
     partial aggregation does the heavy lifting map-side."""
-    sh = (docs.select("doc_id",
-                      F.explode(F.array_distinct(shingles_col(shingle_n)))
-                      .alias("shingle")))
-    perms = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("h"),
-        F.col("shingle"))
-    hashed = perms.withColumn(
-        "hval",
-        F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))
-              .cast("binary")))
-    return (hashed.groupBy("doc_id", "h")
-            .agg(F.min("hval").alias("minhash")))
+    wide = minhash_wide(docs, shingle_n)
+    stack = ", ".join(f"{h}, mh{h}" for h in range(N_HASHES))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_HASHES}, {stack}) AS (h, minhash)")
 
 
 def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
@@ -72,12 +120,21 @@ def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     a band bucket become candidate pairs (a < b). The join is on band_key —
     a self-equi-join on a high-cardinality key, shuffle-partitioned, no
     cross product."""
-    sig = minhash_signatures(docs, shingle_n)
-    bands = (sig.withColumn("band", F.floor(F.col("h") / BAND_ROWS))
-             .groupBy("doc_id", "band")
-             .agg(F.concat_ws("|", F.sort_array(F.collect_list(
-                 F.concat_ws(":", F.col("h").cast("string"), "minhash"))))
-                  .alias("band_key")))
+    wide = minhash_wide(docs, shingle_n)
+    n_bands = N_HASHES // BAND_ROWS
+    band_rows = []
+    for b in range(n_bands):
+        hs = range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+        band_rows.append(
+            (b, F.concat_ws("|", *[
+                F.concat_ws(":", F.lit(str(h)), F.col(f"mh{h}")) for h in hs])))
+    bands = wide.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+            for b, key in band_rows])).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -95,9 +152,7 @@ def jaccard_pairs(docs: DataFrame, shingle_n: int = 5,
     (doc_a, doc_b, inter, union, jaccard >= threshold). Candidate
     generation via shingle equi-join (docs with no shared shingle never
     pair). Jaccard kept as an exact ratio of integers."""
-    sh = (docs.select("doc_id",
-                      F.explode(F.array_distinct(shingles_col(shingle_n)))
-                      .alias("shingle")))
+    sh = _doc_shingles(docs, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -131,16 +186,16 @@ def simhash(docs: DataFrame) -> DataFrame:
         F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"))
     h16 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4),
                  16, 10).cast("long")
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        h16.alias("h16"))
-    # column-valued shift counts need SQL shiftright/shiftleft (the Python
-    # wrappers only take int literals)
-    votes = (bits.withColumn(
-        "vote", F.expr("CASE WHEN (shiftright(h16, b) & 1) = 1 "
-                       "THEN 1 ELSE -1 END"))
-        .groupBy("doc_id", "b").agg(F.sum("vote").alias("v")))
-    return (votes.withColumn(
-        "bitval", F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END"))
-        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+    # 16 conditional-sum aggregates in ONE groupBy instead of a 16-fold
+    # bit-explosion: no row blowup, single shuffle on doc_id
+    toks = toks.select("doc_id", h16.alias("h16"))
+    votes = [F.sum(F.expr(f"CASE WHEN (shiftright(h16, {b}) & 1) = 1 "
+                          f"THEN 1 ELSE -1 END")).alias(f"v{b}")
+             for b in range(SIMHASH_BITS)]
+    wide = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0,
+                     F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return wide.select("doc_id", fp.alias("simhash"))

@@ -17,15 +17,26 @@ from pyspark.sql import functions as F
 from ..config import FilterConfig
 
 
-def normalize(reads2: DataFrame, cfg: FilterConfig) -> DataFrame:
-    stats = reads2.agg(
+def stats_aggs():
+    """E1 aggregates + the budget's passed-chars sum (one shared job)."""
+    return [
         F.min("mean_q").alias("min_q"), F.max("mean_q").alias("max_q"),
         F.mean("mean_q").alias("mu"),
         F.coalesce(F.stddev_pop("mean_q"), F.lit(0.0)).alias("sigma"),
-    ).collect()[0]
+        F.coalesce(F.sum(F.when(F.col("hard_passed"), F.col("n_chars"))),
+                   F.lit(0)).alias("passed_chars"),
+    ]
+
+
+def normalize(reads2: DataFrame, cfg: FilterConfig, stats=None) -> DataFrame:
+    """``stats`` may be precomputed (the pipeline piggybacks the E1
+    aggregate and the budget's passed-chars sum on one job)."""
+    if stats is None:
+        stats = reads2.agg(*stats_aggs()).collect()[0]
     min_q, max_q, sigma = stats["min_q"], stats["max_q"], stats["sigma"]
 
-    if sigma is None or sigma <= 0.0 or max_q <= min_q:
+    if (min_q is None or max_q is None or sigma is None
+            or sigma <= 0.0 or max_q <= min_q):
         mean_q_score = F.lit(50.0)
     else:
         # closed form of the z-score scaling (src/main.cpp:198-201):

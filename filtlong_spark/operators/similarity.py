@@ -32,16 +32,49 @@ def norm(a):
 def cosine_pairs(emb: DataFrame, probe_max_id: int,
                  threshold: float) -> DataFrame:
     """All (probe_id, vec_id, cos) with probe_id <= probe_max_id,
-    probe_id < vec_id, round(cos, 6) >= threshold. Rounded to 6dp so the
-    float-sum order can never flip the compare vs the SQL oracle."""
+    probe_id < vec_id, round(cos, 6) >= threshold.
+
+    Physical shape (the 100 TB pattern): the tiny probe side is collected
+    and broadcast as a normalized numpy matrix; ONE mapInPandas pass over
+    the corpus computes all cosines per Arrow batch with a BLAS matmul.
+    No join, no shuffle — a single streaming scan. (A Catalyst HOF fold
+    (F.aggregate) is interpreted per element per row and re-evaluated in
+    every consuming expression — measured 10-100x slower and the dominant
+    cost in early benches.)
+
+    Rounded to 6dp so float-summation order can never flip the compare vs
+    the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    spark = emb.sparkSession
     probes = (emb.filter(F.col("vec_id") <= probe_max_id)
-              .select(F.col("vec_id").alias("probe_id"),
-                      _as_double("embedding").alias("p")))
-    corpus = emb.select("vec_id", _as_double("embedding").alias("e"))
-    joined = corpus.join(F.broadcast(probes),
-                         F.col("probe_id") < F.col("vec_id"))
-    cos = dot(F.col("p"), F.col("e")) / (norm(F.col("p")) * norm(F.col("e")))
-    return (joined.withColumn("cos", F.round(cos, 6))
+              .select("vec_id", "embedding").collect())
+    pids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+    P = np.array([r["embedding"] for r in probes], dtype=np.float64)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((pids, Pn))
+
+    def mapper(batches):
+        b_pids, b_pn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sims = En @ b_pn.T                       # (batch, n_probes)
+            vids = pdf["vec_id"].to_numpy()
+            mask = b_pids[None, :] < vids[:, None]   # probe_id < vec_id
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame({"probe_id": b_pids[c], "vec_id": vids[r],
+                                "cos": sims[r, c]})
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        mapper, schema="probe_id long, vec_id long, cos double")
+    return (pairs.withColumn("cos", F.round("cos", 6))
             .filter(F.col("cos") >= threshold)
             .select("probe_id", "vec_id", "cos"))
 

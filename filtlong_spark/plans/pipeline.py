@@ -2,23 +2,30 @@
 
 Stage order mirrors the reference exactly (src/main.cpp:40-311):
 
-  ingest/validate -> [refset build] -> score (+spans) -> explode children
-  -> normalize over the POST-scrub set -> budget (target measured against
-  RAW input chars) -> ordered survivors
+  ingest/validate -> [refset build] -> fused score+scrub (one mapInPandas
+  pass emitting the post-scrub set) -> normalize over the POST-scrub set
+  -> budget (target measured against RAW input chars) -> ordered survivors
 
-Driver <-> executor boundaries: the driver holds config, the broadcast
-accepted set, 4 normalization scalars, the raw-input char total, and the
-budget histogram; executors run the scoring/scrub UDFs and all columnar
-work. Shuffles: refset groupBy (only in refset mode), the stats aggregate
-(partial+final, cheap), the budget histogram aggregate, and the final
-orderBy — there is NO global sort of the data in approx mode.
+Physical plan discipline (the 100 TB posture):
+- ONE Python stage total (the fused scorer); everything else is columnar.
+- total raw input chars ride an Observation on the scoring job — no
+  separate input traversal.
+- E1 stats + the budget's passed-chars sum share ONE aggregate job over
+  the cached post-scrub set.
+- approx budget adds one histogram aggregate + a boundary-bucket-only
+  window; there is NO global sort of the data.
+- cached-plan AQE is enabled so the persisted set coalesces to sane
+  partition counts (persist otherwise pins the raw shuffle partitioning).
+
+Job count: 1 (materialize+stats+observation) + [budget: 1 histogram +
+boundary] + the consumer's action.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import FilterConfig
@@ -27,7 +34,6 @@ from ..operators import ingest as ingest_op
 from ..operators import normalize as normalize_op
 from ..operators import refset as refset_op
 from ..operators import score as score_op
-from ..operators import scrub as scrub_op
 
 
 @dataclass
@@ -42,29 +48,36 @@ class PipelineResult:
 def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                ref_pages: DataFrame | None = None) -> PipelineResult:
     cfg.validate()
-    ing = ingest_op.ingest(pages)
-    valid = ing.valid
+    try:
+        # without this, persist() pins the pre-AQE shuffle partitioning and
+        # every cached read fans out to shuffle.partitions tiny tasks
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true")
+    except Exception:
+        pass
 
-    # raw input char total (src/main.cpp:89) — counted on the validated
-    # input BEFORE scrub/filters; single cheap aggregate
-    total_input_chars = (valid.agg(F.sum(F.length("text"))).collect()[0][0]) or 0
+    ing = ingest_op.ingest(pages)
+
+    # raw input char total (src/main.cpp:89) — observed on the scoring job
+    # instead of a separate traversal
+    obs = Observation("raw_input")
+    valid = ing.valid.observe(
+        obs, F.sum(F.length("text")).alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"))
 
     accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages)
 
-    scored = score_op.score_pandas(valid, cfg, accepted_bc)
+    reads2 = score_op.score_and_scrub(valid, cfg, accepted_bc).persist()
 
-    if cfg.trim or cfg.split is not None:
-        reads2 = scrub_op.explode_children(scored, cfg, accepted_bc)
-    else:
-        reads2 = (scored.withColumn("child_start", F.lit(0))
-                  .withColumn("is_child", F.lit(False)))
+    # one job: materializes the cache, fills the observation, and computes
+    # E1 stats + the budget's passed-chars sum together
+    stats = reads2.agg(*normalize_op.stats_aggs()).collect()[0]
+    total_input_chars = obs.get["total_chars"] or 0
 
-    # cache: normalize/budget/output each traverse reads2; without this the
-    # pandas-UDF scoring would re-run per action
-    reads2 = reads2.persist()
-
-    normalized = normalize_op.normalize(reads2, cfg)
-    labeled = budget_op.apply_budget(normalized, cfg, total_input_chars)
+    normalized = normalize_op.normalize(reads2, cfg, stats=stats)
+    labeled = budget_op.apply_budget(normalized, cfg, total_input_chars,
+                                     passed_chars=stats["passed_chars"])
     target = budget_op.compute_target(cfg, total_input_chars)
 
     kept = (labeled.filter(F.col("passed"))

@@ -14,6 +14,8 @@ def spark():
          .appName("filtlong_spark_tests")
          .config("spark.sql.shuffle.partitions", "4")
          .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                 "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.ui.enabled", "false")
