@@ -294,6 +294,30 @@ def q_ann_topk(spark, sf_dir):
             .orderBy("probe_id", "rank"))
 
 
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN candidates (the scale path: equi-join on
+    bucket, no broadcast of the corpus). Rows-only check: the hyperplane
+    construction is not reasonably SQL-expressible."""
+    return (sim_op.ann_lsh_candidates(_emb(spark, sf_dir), probe_max_id=20)
+            .orderBy("probe_id", "vec_id"))
+
+
+def q_pipeline_labels(spark, sf_dir):
+    """The FULL pipeline (langid + scoring + scrub + normalize + budget)
+    over the documents table mapped to the input_hint page shape; returns
+    per-survivor labels. Rows-only check (the fused pipeline is the
+    subject of the pytest oracle-equivalence suite instead)."""
+    from filtlong_spark.plans.pipeline import run_filter
+    pages = tables.documents_as_pages(spark, sf_dir)
+    cfg = FilterConfig(min_length=MIN_LENGTH, keep_percent=90.0,
+                       window_size=WINDOW, split=3, pii_scrub=True,
+                       mode="intrinsic", vocab=frozenset(VOCAB),
+                       budget_algorithm="approx")
+    res = run_filter(spark, pages, cfg)
+    return res.kept.select("url", "n_chars", "mean_q", "window_q",
+                           "final_score").orderBy("url")
+
+
 def q_dup_check(spark, sf_dir):
     """A4: duplicate-key data-quality gate (src/main.cpp:113-117)."""
     d = _docs(spark, sf_dir)
@@ -339,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,           # rows-only (no SQL oracle)
+        "pipeline_labels": q_pipeline_labels,  # rows-only (pytest-verified)
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
     }

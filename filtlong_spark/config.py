@@ -74,6 +74,8 @@ class FilterConfig:
     # scrub (G1-G6, src/read.cpp:75-143)
     trim: bool = False
     split: int | None = None               # min bad-run char length
+    # PII/toxicity regex scrub (north_rule): spans are ALWAYS removed
+    pii_scrub: bool = False
 
     # quality-signal source: 'intrinsic' (fixed vocabulary <- Phred mode)
     # or 'refset' (accepted set built from a reference corpus <- k-mer mode)
@@ -101,7 +103,8 @@ class FilterConfig:
         any_threshold = any(v is not None for v in (
             self.min_length, self.max_length, self.min_mean_q,
             self.min_window_q, self.target_chars, self.keep_percent,
-        )) or self.trim or self.split is not None
+        )) or self.trim or self.split is not None or self.pii_scrub \
+            or self.langid_enabled
         if not any_threshold:
             raise ConfigError(
                 "Error: no thresholds set, you must use at least one of the "

@@ -166,10 +166,13 @@ class ScrubResult:
 
 
 def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
-                trim: bool, split_threshold: int | None) -> ScrubResult:
+                trim: bool, split_threshold: int | None,
+                extra_bad: list[tuple[int, int]] | None = None) -> ScrubResult:
     """Compute good child char-spans from per-token qualities.
 
     ``spans_q`` is [(start_char, end_char, quality)] per token, in order.
+    ``extra_bad`` (e.g. PII/toxicity regex spans) are bad ranges that are
+    ALWAYS removed, regardless of the split length threshold.
 
     - bad runs: maximal runs of consecutive quality-0 tokens; the run's
       char span is [start of first bad token, end of last bad token)
@@ -185,7 +188,7 @@ def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
     mirrors the parent being output unchanged (src/main.cpp:140-147).
     """
     n = len(text)
-    bad_ranges: list[tuple[int, int]] = []
+    bad_ranges: list[tuple[int, int]] = list(extra_bad or [])
 
     good_idx = [i for i, (_, _, q) in enumerate(spans_q) if q > 0.0]
 
@@ -252,3 +255,69 @@ def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
 def child_name(url: str, start: int, end: int) -> str:
     """{parent}_{start+1}-{end}, 1-based inclusive (src/read.cpp:135-136)."""
     return f"{url}_{start + 1}-{end}"
+
+
+# ---------------------------------------------------------------------------
+# Language-ID gate (A2 analog: FASTA/FASTQ format detection + the
+# FASTA-without-reference error, src/main.cpp:92-106).
+# Deterministic stopword-marker profile; fastText is the production slot.
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": frozenset({"the", "a", "of", "and", "is"}),
+    "de": frozenset({"der", "die", "und", "das", "ist"}),
+    "es": frozenset({"el", "los", "y", "las", "es"}),
+    "fr": frozenset({"le", "la", "et", "les", "est"}),
+}
+
+
+def predict_lang(tokens: list[str]) -> tuple[str, float]:
+    """(lang_pred, confidence): argmax of marker-token counts;
+    alphabetical tiebreak; 'und' when no marker hits. Mirrors the
+    Catalyst/SQL implementation in functions/textstats.py exactly."""
+    counts = {lang: 0 for lang in LANG_MARKERS}
+    for t in tokens:
+        for lang, words in LANG_MARKERS.items():
+            if t in words:
+                counts[lang] += 1
+    total = sum(counts.values())
+    if total == 0:
+        return "und", 0.0
+    best = max(sorted(counts), key=lambda l: counts[l])
+    return best, counts[best] / total
+
+
+# ---------------------------------------------------------------------------
+# PII / toxicity scrub spans (north_rule: compiled-regex scrubber).
+# An additional bad-span source feeding the same trim/split machinery —
+# unlike quality runs, a PII span is ALWAYS removed (no length threshold).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = [
+    # email
+    re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    # US-style phone
+    re.compile(r"(?:\+?\d{1,2}[ -])?(?:\(\d{3}\)|\d{3})[ -]\d{3}[ -]\d{4}"),
+    # SSN-like
+    re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
+]
+# placeholder toxicity lexicon (swap for a real one in production)
+TOXIC_RE = re.compile(r"\b(?:frobnak|grubbix|zlorty)\b")
+
+
+def pii_spans(text: str) -> list[tuple[int, int]]:
+    """Char spans matched by any PII/toxicity pattern, sorted+merged."""
+    spans = []
+    for pat in PII_PATTERNS:
+        spans.extend(m.span() for m in pat.finditer(text))
+    spans.extend(m.span() for m in TOXIC_RE.finditer(text))
+    if not spans:
+        return []
+    spans.sort()
+    merged = [spans[0]]
+    for s, e in spans[1:]:
+        if s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged

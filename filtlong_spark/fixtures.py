@@ -23,6 +23,8 @@ VOCAB = frozenset({
     "window", "small", "hash", "join", "batch", "stream", "big", "slow",
     "value", "query", "column", "agg", "line", "data", "group", "row",
     "customer", "vector", "a", "spark", "filter",
+    # English langid markers (so generated volumes pass the langid gate)
+    "of", "and", "is",
 })
 # 4-char vocab words used as filler; deliberately excludes the two words
 # held out of the reference corpus (FAM_C) so planted token percentages
@@ -212,6 +214,43 @@ def badrec_suite() -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# F8 — pii suite (regex scrub; north_rule's PII/toxicity scrubber)
+# ---------------------------------------------------------------------------
+
+def pii_suite() -> list[dict]:
+    rng = np.random.default_rng(1006)
+    body = _fill_text(400, [], rng)
+    rows = [
+        _row("https://fixture.test/pii/clean", body, idx=0),
+        _row("https://fixture.test/pii/email",
+             body[:200].rstrip() + " contact bob@example.com now " + body[:160].rstrip(), idx=1),
+        _row("https://fixture.test/pii/phone",
+             "call (555) 123-4567 " + body[:300].rstrip(), idx=2),
+        _row("https://fixture.test/pii/toxic",
+             body[:150].rstrip() + " you frobnak fool " + body[:200].rstrip(), idx=3),
+        _row("https://fixture.test/pii/ssn",
+             body[:100].rstrip() + " ssn 123-45-6789 end " + body[:250].rstrip(), idx=4),
+    ]
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# F9 — langid suite (A2 gate analog)
+# ---------------------------------------------------------------------------
+
+def langid_suite() -> list[dict]:
+    rng = np.random.default_rng(1007)
+    base = _fill_text(300, [], rng)
+    mk = lambda words: base + " " + " ".join(words * 8)
+    return [
+        _row("https://fixture.test/lang/en", mk(["the", "of", "and"]), "en", 0),
+        _row("https://fixture.test/lang/de", mk(["der", "und", "das"]), "de", 1),
+        _row("https://fixture.test/lang/fr", mk(["le", "et", "les"]), "fr", 2),
+        _row("https://fixture.test/lang/es", mk(["el", "y", "las"]), "es", 3),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Volume generator (SF scales; FIXTURES.md "Volume generator")
 # ---------------------------------------------------------------------------
 
@@ -226,7 +265,7 @@ def volume(sf: float, seed: int = 42) -> list[dict]:
     hosts = rng.zipf(1.6, n_docs) % 997          # skewed host ids
     langs = rng.choice(["en", "de", "fr", "es", "zh"], n_docs,
                        p=[0.4, 0.15, 0.15, 0.15, 0.15])
-    good = np.array(GOOD4)
+    good = np.array(GOOD4 + ["the", "a", "of", "and", "is"])
     rows = []
     for i in range(n_docs):
         n_units = int(lengths[i]) // 5
@@ -246,6 +285,53 @@ def volume(sf: float, seed: int = 42) -> list[dict]:
         rows.append(_row(f"https://host{hosts[i]}.example.com/doc/{i}",
                          text, lang=str(langs[i]), idx=i))
     return rows
+
+
+def volume_spark(spark, sf: float, seed: int = 42):
+    """Parallel (Spark-generated) volume table in the input_hint shape —
+    same statistical design as ``volume()`` but generated map-side so
+    multi-100k-doc benchmark inputs build in seconds. Deterministic per
+    doc_id. Includes English marker words so the langid gate is exercised."""
+    import pandas as pd
+
+    from .functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    n_docs = max(20, int(1_000_000 * sf))
+    pool = GOOD4 + ["the", "a", "of", "and", "is"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [],
+                    "lang": []}
+            for doc_id in pdf["id"]:
+                rng = np.random.default_rng(seed * 1_000_003 + int(doc_id))
+                n_units = int(np.clip(rng.lognormal(np.log(2000), 0.6),
+                                      120, 20000)) // 5
+                toks = [pool[i] for i in rng.integers(0, len(pool), n_units)]
+                n_bad = int(rng.beta(1.2, 12.0) * n_units)
+                if n_bad:
+                    for p in rng.choice(n_units, size=n_bad, replace=False):
+                        toks[int(p)] = FAM_B[int(rng.integers(0, 4))]
+                    if rng.random() < 0.3:
+                        run_len = 1 + rng.poisson(8)
+                        at = int(rng.integers(0, max(1, n_units - run_len)))
+                        for j in range(at, min(n_units, at + run_len)):
+                            toks[j] = FAM_B[int(rng.integers(0, 4))]
+                text = " ".join(toks)
+                host = rng.zipf(1.6) % 997
+                rows["url"].append(
+                    f"https://host{host}.example.com/doc/{int(doc_id)}")
+                rows["warc_ts"].append(
+                    BASE_TS + timedelta(seconds=int(doc_id)))
+                rows["html"].append(b"")
+                rows["text"].append(text)
+                rows["lang"].append("en")
+            yield pd.DataFrame(rows)
+
+    return (spark.range(n_docs)
+            .repartition(max(64, spark.sparkContext.defaultParallelism * 2))
+            .mapInPandas(gen, schema=PAGES_SCHEMA))
 
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "

@@ -102,10 +102,11 @@ def make_score_udf(accepted_bc, cfg: FilterConfig):
     return score_udf
 
 
-READS2_SCHEMA = ("url string, warc_ts timestamp, lang string, text string, "
+READS2_SCHEMA = ("url string, parent_url string, "
                  "n_chars long, n_tokens long, mean_q double, "
                  "window_q double, ratio double, "
-                 "child_start int, is_child boolean")
+                 "child_start int, child_end int, is_child boolean, "
+                 "lang_pred string, lang_ok boolean")
 
 
 def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
@@ -117,56 +118,72 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
     Fusing scoring + scrub + child re-scoring into a single Python stage
     avoids the naive plan (UDF -> explode -> second UDF -> union of two
     Python branches): one narrow stage, no shuffle, one worker pass.
+
+    The output carries METRICS ONLY — no text. Like the reference, which
+    discards sequences after scoring and re-reads the input at output time
+    (src/read.cpp:25-62, src/main.cpp:263-311), survivor text is
+    reconstructed later by joining labels back to the source table and
+    substring-ing child spans. That keeps the committed snapshot ~50x
+    smaller and the text column moves through the cluster exactly once.
     """
     _register_self_contained_pickling()
     window_size = cfg.window_size
     trim, split = cfg.trim, cfg.split
-    scrub = trim or split is not None
+    pii = cfg.pii_scrub
+    scrub = trim or split is not None or pii
+    langid = cfg.langid_enabled
+    lang_expected = cfg.langid_expected
 
-    def score_one(url, text):
+    def score_one(text):
         toks = core.tokenize(text)
         q = core.token_quality([t for t, _, _ in toks], accepted_bc.value)
         mq = core.mean_quality(q)
         wq = core.window_quality(q, window_size)
         return toks, q, mq, wq
 
+    COLS = ["url", "parent_url", "n_chars", "n_tokens", "mean_q",
+            "window_q", "ratio", "child_start", "child_end", "is_child",
+            "lang_pred", "lang_ok"]
+
     def mapper(batches):
         import pandas as pd  # noqa: F811 (worker-side)
         for pdf in batches:
-            out = {k: [] for k in (
-                "url", "warc_ts", "lang", "text", "n_chars", "n_tokens",
-                "mean_q", "window_q", "ratio", "child_start", "is_child")}
-
-            def emit(url, ts, lang, text, toks, q, mq, wq, start, child):
-                out["url"].append(url)
-                out["warc_ts"].append(ts)
-                out["lang"].append(lang)
-                out["text"].append(text)
-                out["n_chars"].append(len(text))
-                out["n_tokens"].append(len(toks))
-                out["mean_q"].append(mq)
-                out["window_q"].append(wq)
-                out["ratio"].append(core.window_ratio(mq, wq))
-                out["child_start"].append(start)
-                out["is_child"].append(child)
-
-            for url, ts, lang, text in zip(pdf["url"], pdf["warc_ts"],
-                                           pdf["lang"], pdf["text"]):
+            # row-major accumulation; only url+text cross the Arrow
+            # boundary inward, metrics-only outward (no timestamps — pandas
+            # timestamp conversion was a measured hotspot)
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
                 text = text or ""
-                toks, q, mq, wq = score_one(url, text)
+                if langid:
+                    pred, _conf = core.predict_lang(
+                        [m.group(0) for m in core.TOKEN_RE.finditer(text)])
+                    if lang_expected is not None and pred != lang_expected:
+                        # gated out before scoring (A2 analog) — emitted
+                        # with lang_ok=False so the pipeline can count and
+                        # quarantine it; never enters normalization
+                        rows.append((url, url, len(text), 0, 0.0, 0.0, 1.0,
+                                     0, len(text), False, pred, False))
+                        continue
+                else:
+                    pred = None
+                toks, q, mq, wq = score_one(text)
                 if scrub:
                     spans_q = [(s, e, float(q[i]))
                                for i, (_, s, e) in enumerate(toks)]
-                    res = core.scrub_spans(text, spans_q, trim, split)
+                    extra = core.pii_spans(text) if pii else None
+                    res = core.scrub_spans(text, spans_q, trim, split, extra)
                     if res.changed:
                         for (s, e) in res.child_spans:
-                            ctext = text[s:e]
-                            ctoks, cq, cmq, cwq = score_one(url, ctext)
-                            emit(core.child_name(url, s, e), ts, lang, ctext,
-                                 ctoks, cq, cmq, cwq, s, True)
+                            ctoks, cq, cmq, cwq = score_one(text[s:e])
+                            rows.append((core.child_name(url, s, e), url,
+                                         e - s, len(ctoks), cmq, cwq,
+                                         core.window_ratio(cmq, cwq),
+                                         s, e, True, pred, True))
                         continue
-                emit(url, ts, lang, text, toks, q, mq, wq, 0, False)
-            yield pd.DataFrame(out)
+                rows.append((url, url, len(text), len(toks), mq, wq,
+                             core.window_ratio(mq, wq),
+                             0, len(text), False, pred, True))
+            yield pd.DataFrame(rows, columns=COLS)
 
     return mapper, READS2_SCHEMA
 

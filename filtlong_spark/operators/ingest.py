@@ -26,23 +26,42 @@ class IngestResult:
 def ingest(pages: DataFrame, order_cols=("warc_ts", "url")) -> IngestResult:
     """Validate + stamp the order key used by the order-preserving sink
     (A7). The order key is (warc_ts, url) — stable and data-derived, unlike
-    monotonically_increasing_id which depends on partition layout."""
+    monotonically_increasing_id which depends on partition layout.
+
+    Duplicate handling is shaped for scale: a naive row_number window over
+    url would shuffle EVERY row (including the text column) and AQE then
+    coalesces the CPU-heavy downstream Python stage onto a handful of
+    tasks. Instead: (1) find duplicated urls with a key-only aggregate
+    (shuffles just urls), (2) broadcast-join that small set back, so clean
+    rows flow scan->score with no shuffle, and only the duplicated subset
+    pays the window. Assumes dups are the exception (url-keyed crawl
+    snapshots); a dup-heavy source should be pre-bucketed by url instead.
+    """
     base = pages.withColumn(
         "_reason",
         F.when(F.col("text").isNull(), F.lit("null_text"))
          .when(F.length("text") == 0, F.lit("empty_text")))
 
-    # duplicate-url check (A4): keep the first by order key, deterministic
-    w = Window.partitionBy("url").orderBy(*[F.col(c) for c in order_cols])
-    base = base.withColumn("_rn", F.row_number().over(w))
-    base = base.withColumn(
-        "_reason",
-        F.when(F.col("_reason").isNotNull(), F.col("_reason"))
-         .when(F.col("_rn") > 1, F.lit("duplicate_url")))
+    # A4: duplicated urls, key-only aggregate -> small -> broadcast
+    dup_urls = (pages.groupBy("url").agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > 1).select("url")
+                .withColumn("_dup", F.lit(1)))
+    marked = base.join(F.broadcast(dup_urls), "url", "left")
 
-    valid = base.filter(F.col("_reason").isNull()).drop("_reason", "_rn")
+    clean = marked.filter(F.col("_dup").isNull()).drop("_dup")
+    dups = marked.filter(F.col("_dup").isNotNull()).drop("_dup")
+    w = Window.partitionBy("url").orderBy(*[F.col(c) for c in order_cols])
+    dups = (dups.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_reason",
+                F.when(F.col("_reason").isNotNull(), F.col("_reason"))
+                 .when(F.col("_rn") > 1, F.lit("duplicate_url")))
+            .drop("_rn"))
+    base = clean.unionByName(dups)
+
+    valid = base.filter(F.col("_reason").isNull()).drop("_reason")
     quarantine = (base.filter(F.col("_reason").isNotNull())
-                  .withColumnRenamed("_reason", "reason").drop("_rn"))
+                  .withColumnRenamed("_reason", "reason"))
     return IngestResult(valid=valid, quarantine=quarantine)
 
 

@@ -36,8 +36,7 @@ def score_and_scrub(pages: DataFrame, cfg: FilterConfig, accepted_bc) -> DataFra
     re-scored children replacing scrubbed parents (src/read.cpp:25-143 +
     src/main.cpp:136-147 in a single narrow stage, no shuffle)."""
     mapper, schema = scoring.make_reads2_mapper(accepted_bc, cfg)
-    reads2 = pages.select("url", "warc_ts", "lang", "text").mapInPandas(
-        mapper, schema=schema)
+    reads2 = pages.select("url", "text").mapInPandas(mapper, schema=schema)
     reads2 = reads2.withColumn("length_s",
                                scoring.length_score_col(F.col("n_chars")))
     return reads2.withColumn("hard_passed", scoring.hard_pass_col(cfg))

@@ -87,7 +87,7 @@ def run_pipeline(rows: list[dict], cfg: FilterConfig,
                  ref_rows: list[dict] | None = None) -> OracleResult:
     cfg.validate()
     accepted = build_accepted(cfg, ref_rows)
-    scrub = cfg.trim or cfg.split is not None
+    scrub = cfg.trim or cfg.split is not None or cfg.pii_scrub
 
     total_input_chars = 0
     reads2: list[OracleDoc] = []
@@ -100,12 +100,18 @@ def run_pipeline(rows: list[dict], cfg: FilterConfig,
             continue  # duplicate url -> quarantine (src/main.cpp:113-117)
         seen_urls.add(r["url"])
         total_input_chars += len(text)
+        if cfg.langid_enabled and cfg.langid_expected is not None:
+            pred, _ = core.predict_lang(
+                [m.group(0) for m in core.TOKEN_RE.finditer(text)])
+            if pred != cfg.langid_expected:
+                continue  # langid gate (A2 analog) — never normalized
         parent = OracleDoc(url=r["url"], text=text, order=order)
         if scrub:
             toks = core.tokenize(text)
             q = core.token_quality([t for t, _, _ in toks], accepted)
             spans_q = [(s, e, float(q[i])) for i, (_, s, e) in enumerate(toks)]
-            res = core.scrub_spans(text, spans_q, cfg.trim, cfg.split)
+            extra = core.pii_spans(text) if cfg.pii_scrub else None
+            res = core.scrub_spans(text, spans_q, cfg.trim, cfg.split, extra)
             if res.changed:
                 for (s, e) in res.child_spans:
                     child = OracleDoc(

@@ -23,6 +23,7 @@ boundary] + the consumer's action.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -32,6 +33,7 @@ from ..config import FilterConfig
 from ..operators import budget as budget_op
 from ..operators import ingest as ingest_op
 from ..operators import normalize as normalize_op
+from ..operators import output as output_op
 from ..operators import refset as refset_op
 from ..operators import score as score_op
 
@@ -43,44 +45,92 @@ class PipelineResult:
     quarantine: DataFrame
     total_input_chars: int
     target: int | None
+    scratch_dir: str = ""
+    resumed: bool = False
+    metrics: dict | None = None
+    lang_rejected: DataFrame | None = None  # langid-gated docs (A2 analog)
+
+    def unpersist(self):  # compat no-op (scratch is parquet-backed)
+        return self
 
 
 def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
-               ref_pages: DataFrame | None = None) -> PipelineResult:
+               ref_pages: DataFrame | None = None,
+               checkpoint_dir: str | None = None,
+               resume: bool = True) -> PipelineResult:
+    """Run the full filter. ``checkpoint_dir``: where the scored post-scrub
+    set is committed (parquet + lineage.json); pass the same dir again to
+    RESUME — a committed run skips ingest+scoring entirely
+    (north_rule: resumable from the last committed snapshot)."""
     cfg.validate()
-    try:
-        # without this, persist() pins the pre-AQE shuffle partitioning and
-        # every cached read fans out to shuffle.partitions tiny tasks
-        spark.conf.set(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true")
-    except Exception:
-        pass
+    scratch = checkpoint_dir or output_op.new_scratch_dir()
 
+    # ingest always runs — the source table is re-read at output time to
+    # reattach survivor text (the reference's second input pass,
+    # src/main.cpp:263-311); the committed snapshot holds metrics only
     ing = ingest_op.ingest(pages)
+    quarantine = ing.quarantine
 
-    # raw input char total (src/main.cpp:89) — observed on the scoring job
-    # instead of a separate traversal
-    obs = Observation("raw_input")
-    valid = ing.valid.observe(
-        obs, F.sum(F.length("text")).alias("total_chars"),
-        F.count(F.lit(1)).alias("n_docs"))
+    resumed = resume and output_op.is_committed(os.path.join(scratch, "reads2"))
+    if resumed:
+        reads2 = spark.read.parquet(os.path.join(scratch, "reads2"))
+        lineage = output_op.read_lineage(scratch) or {}
+        total_input_chars = lineage.get("total_input_chars", 0)
+    else:
+        # raw input char total (src/main.cpp:89) — observed on the scoring
+        # job instead of a separate input traversal
+        obs = Observation()
+        valid = ing.valid.observe(
+            obs, F.sum(F.length("text")).alias("total_chars"),
+            F.count(F.lit(1)).alias("n_docs"))
 
-    accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages)
+        accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages)
+        scored = score_op.score_and_scrub(valid, cfg, accepted_bc)
+        reads2, _ = output_op.checkpoint(
+            scored, spark, os.path.join(scratch, "reads2"), resume=False)
+        total_input_chars = obs.get["total_chars"] or 0
 
-    reads2 = score_op.score_and_scrub(valid, cfg, accepted_bc).persist()
+    # langid gate (A2 analog): rejected docs never enter normalization
+    lang_rejected = reads2.filter(~F.col("lang_ok"))
+    reads2 = reads2.filter(F.col("lang_ok"))
 
-    # one job: materializes the cache, fills the observation, and computes
-    # E1 stats + the budget's passed-chars sum together
+    # E1 stats + the budget's passed-chars sum: ONE aggregate job over the
+    # committed set (column-pruned parquet read: mean_q/n_chars only)
     stats = reads2.agg(*normalize_op.stats_aggs()).collect()[0]
-    total_input_chars = obs.get["total_chars"] or 0
 
     normalized = normalize_op.normalize(reads2, cfg, stats=stats)
     labeled = budget_op.apply_budget(normalized, cfg, total_input_chars,
                                      passed_chars=stats["passed_chars"])
     target = budget_op.compute_target(cfg, total_input_chars)
 
-    kept = (labeled.filter(F.col("passed"))
+    metrics = {
+        "total_input_chars": int(total_input_chars),
+        "post_scrub_docs": None,  # filled by consumers if they count
+        "passed_chars_pre_budget": int(stats["passed_chars"] or 0),
+        "target": target,
+        "resumed": resumed,
+        "config": {k: (list(v) if isinstance(v, frozenset) else v)
+                   for k, v in cfg.__dict__.items()},
+    }
+    if not resumed:
+        output_op.write_lineage(scratch, metrics)
+
+    # output: reattach text by joining labels back to the source table —
+    # the labels side is small (metrics only) so AQE turns this into a
+    # broadcast join and the text column never shuffles; child text is a
+    # substring of the parent (byte-identical requirement)
+    labels = labeled.filter(F.col("passed"))
+    src = ing.valid.select(F.col("url").alias("parent_url"),
+                           "warc_ts", "lang", "text")
+    kept = (labels.join(src, "parent_url")
+            .withColumn(
+                "text",
+                F.when(F.col("is_child"),
+                       F.substring(F.col("text"), F.col("child_start") + 1,
+                                   F.col("child_end") - F.col("child_start")))
+                .otherwise(F.col("text")))
             .orderBy("warc_ts", "url", "child_start"))
-    return PipelineResult(kept=kept, reads2=labeled, quarantine=ing.quarantine,
-                          total_input_chars=total_input_chars, target=target)
+    return PipelineResult(kept=kept, reads2=labeled, quarantine=quarantine,
+                          total_input_chars=total_input_chars, target=target,
+                          scratch_dir=scratch, resumed=resumed,
+                          metrics=metrics, lang_rejected=lang_rejected)

@@ -1,0 +1,56 @@
+"""Structured Streaming rendering of the scorer (SURVEY.md §2H note).
+
+The reference is strictly batch (two passes over a static file), and the
+global stages (z-score normalization over the WHOLE corpus, the keep-budget
+prefix) are inherently batch — they need every record. What streams
+cleanly is the per-document portion: langid gate -> scoring -> scrub ->
+HARD thresholds (D1 evaluates on raw, pre-normalization metrics,
+src/read.cpp:64-73, so it needs no global state).
+
+Deployment shape at scale: this streaming stage does ingest-time gating
+and scoring into a committed (Iceberg) staging table; the batch
+normalize+budget job then runs over completed snapshots — exactly the
+two-phase split the batch pipeline's checkpoint already implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import FilterConfig
+from ..functions import scoring
+from ..operators import refset as refset_op
+
+
+def score_stream(spark: SparkSession, pages_stream: DataFrame,
+                 cfg: FilterConfig, ref_pages: DataFrame | None = None
+                 ) -> DataFrame:
+    """Streaming pages -> scored + hard-labeled records (append-mode safe:
+    every operator here is stateless per row)."""
+    cfg.validate()
+    accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages)
+    mapper, schema = scoring.make_reads2_mapper(accepted_bc, cfg)
+    scored = pages_stream.select("url", "text").mapInPandas(
+        mapper, schema=schema)
+    scored = scored.withColumn(
+        "length_s", scoring.length_score_col(F.col("n_chars")))
+    return scored.withColumn("hard_passed", scoring.hard_pass_col(cfg))
+
+
+def run_available_now(spark: SparkSession, source_dir: str,
+                      cfg: FilterConfig, sink_dir: str,
+                      checkpoint_dir: str) -> None:
+    """Drive a parquet-source stream to completion with availableNow —
+    the batch-equivalent smoke path (also how a backfill would run)."""
+    pages = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string").parquet(source_dir))
+    scored = score_stream(spark, pages, cfg)
+    q = (scored.writeStream.format("parquet")
+         .option("path", sink_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -16,6 +16,7 @@ def spark():
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                  "true")
+         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.ui.enabled", "false")

@@ -1,0 +1,52 @@
+"""Checkpoint/resume semantics (north_rule: resumable from the last
+committed snapshot, with persisted lineage)."""
+
+import os
+import shutil
+
+from filtlong_spark import fixtures as fx
+from filtlong_spark.config import FilterConfig
+from filtlong_spark.operators import output as output_op
+from filtlong_spark.plans.pipeline import run_filter
+
+
+def _cfg(**kw):
+    kw.setdefault("mode", "intrinsic")
+    kw.setdefault("vocab", fx.VOCAB)
+    return FilterConfig(**kw)
+
+
+def test_resume_skips_scoring_and_matches(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    rows = fx.volume(sf=0.0002)
+    df = fx.to_spark_df(spark, rows)
+    cfg = dict(min_length=100, keep_percent=70.0, trim=True, split=40)
+
+    r1 = run_filter(spark, df, _cfg(**cfg), checkpoint_dir=ckpt)
+    kept1 = [(r["url"], r["text"], r["final_score"])
+             for r in r1.kept.collect()]
+    assert not r1.resumed
+    assert output_op.is_committed(os.path.join(ckpt, "reads2"))
+    assert output_op.read_lineage(ckpt)["total_input_chars"] == \
+        r1.total_input_chars
+
+    # resume: same checkpoint dir + same input (the source table is always
+    # re-read at output time for text, like the reference's second pass) —
+    # scoring must be skipped and results identical
+    r2 = run_filter(spark, df, _cfg(**cfg), checkpoint_dir=ckpt)
+    assert r2.resumed
+    assert r2.total_input_chars == r1.total_input_chars
+    kept2 = [(r["url"], r["text"], r["final_score"])
+             for r in r2.kept.collect()]
+    assert kept1 == kept2
+
+
+def test_fresh_run_after_cleanup(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    rows = fx.sort_suite()
+    df = fx.to_spark_df(spark, rows)
+    r1 = run_filter(spark, df, _cfg(target_chars=10_000), checkpoint_dir=ckpt)
+    n1 = r1.kept.count()
+    shutil.rmtree(ckpt)
+    r2 = run_filter(spark, df, _cfg(target_chars=10_000), checkpoint_dir=ckpt)
+    assert not r2.resumed and r2.kept.count() == n1

@@ -1,0 +1,92 @@
+"""PII/toxicity regex scrub + language-ID gate (north_rule stages)."""
+
+import pytest
+
+from filtlong_spark import core
+from filtlong_spark import fixtures as fx
+from filtlong_spark import oracle
+from filtlong_spark.config import FilterConfig
+from filtlong_spark.plans.pipeline import run_filter
+
+
+def _cfg(**kw):
+    kw.setdefault("mode", "intrinsic")
+    kw.setdefault("vocab", fx.VOCAB)
+    return FilterConfig(**kw)
+
+
+class TestPiiCore:
+    def test_email_span(self):
+        t = "write to bob@example.com today"
+        assert core.pii_spans(t) == [(9, 24)]
+        assert t[9:24] == "bob@example.com"
+
+    def test_phone_and_ssn(self):
+        t = "call (555) 123-4567 or 123-45-6789"
+        spans = core.pii_spans(t)
+        assert t[spans[0][0]:spans[0][1]] == "(555) 123-4567"
+        assert t[spans[1][0]:spans[1][1]] == "123-45-6789"
+
+    def test_toxic_word(self):
+        t = "you frobnak fool"
+        (s, e), = core.pii_spans(t)
+        assert t[s:e] == "frobnak"
+
+    def test_no_threshold_always_removed(self):
+        # PII spans bypass the split length threshold entirely
+        t = "good a@b.co good"
+        spans_q = [(s, e, 1.0) for _, s, e in core.tokenize(t)]
+        res = core.scrub_spans(t, spans_q, trim=False, split_threshold=None,
+                               extra_bad=core.pii_spans(t))
+        assert res.changed
+        assert [t[s:e] for s, e in res.child_spans] == ["good ", " good"]
+
+
+class TestLangidCore:
+    def test_predict(self):
+        assert core.predict_lang(["the", "of", "x"])[0] == "en"
+        assert core.predict_lang(["der", "und"])[0] == "de"
+        assert core.predict_lang(["zzz"])[0] == "und"
+
+    def test_tiebreak_alphabetical(self):
+        lang, conf = core.predict_lang(["the", "der"])
+        assert lang == "de" and conf == 0.5
+
+
+class TestPipeline:
+    def test_pii_scrub_byte_identical(self, spark):
+        rows = fx.pii_suite()
+        cfg = dict(pii_scrub=True, min_length=1)
+        res_o = oracle.run_pipeline(rows, _cfg(**cfg))
+        res_s = run_filter(spark, fx.to_spark_df(spark, rows), _cfg(**cfg))
+        got = sorted((r["url"], r["text"]) for r in res_s.kept.collect())
+        exp = sorted((d.url, d.text) for d in res_o.kept)
+        assert got == exp
+        # the email doc must have been split around the address
+        assert not any("bob@example.com" in t for _, t in got)
+        assert any("_" in u.rsplit("/", 1)[-1] for u, _ in got)
+
+    def test_langid_gate(self, spark):
+        rows = fx.langid_suite()
+        cfg = dict(langid_enabled=True, langid_expected="en", min_length=1)
+        res_o = oracle.run_pipeline(rows, _cfg(**cfg))
+        res_s = run_filter(spark, fx.to_spark_df(spark, rows), _cfg(**cfg))
+        got = sorted(r["url"] for r in res_s.kept.collect())
+        exp = sorted(d.url for d in res_o.kept)
+        assert got == exp == ["https://fixture.test/lang/en"]
+        rejected = {r["url"]: r["lang_pred"]
+                    for r in res_s.lang_rejected.collect()}
+        assert rejected == {
+            "https://fixture.test/lang/de": "de",
+            "https://fixture.test/lang/fr": "fr",
+            "https://fixture.test/lang/es": "es",
+        }
+
+    def test_pii_with_quality_split_combined(self, spark):
+        rows = fx.split_suite() + fx.pii_suite()
+        cfg = dict(split=50, pii_scrub=True)
+        res_o = oracle.run_pipeline(rows, _cfg(**cfg))
+        res_s = run_filter(spark, fx.to_spark_df(spark, rows), _cfg(**cfg))
+        got = sorted((r["url"], r["text"]) for r in res_s.kept.collect())
+        exp = sorted((d.url, d.text) for d in res_o.kept)
+        assert got == exp
