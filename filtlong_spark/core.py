@@ -224,15 +224,26 @@ def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
     if not bad_ranges:
         return ScrubResult(child_spans=[(0, n)], changed=False)
 
-    # sort + merge overlaps, then complement over [0, n). Documented
-    # deviation: the reference walks ranges in insertion order
-    # (src/read.cpp:119-130), which in a token world can interleave a
-    # trim range (separator-inclusive) with a split range
-    # (separator-exclusive); sort+merge resolves that corner
-    # deterministically. Both our engines use this same rule.
-    bad_ranges.sort()
+    children = complement_bad_ranges(bad_ranges, n)
+    if not children:
+        # zero children -> the parent is kept as itself
+        # (m_child_reads.size()==0 path, src/main.cpp:140-147)
+        return ScrubResult(child_spans=[(0, n)], changed=False)
+    return ScrubResult(child_spans=children, changed=True)
+
+
+def complement_bad_ranges(bad_ranges: list[tuple[int, int]],
+                          n: int) -> list[tuple[int, int]]:
+    """Sort + merge bad ranges, complement over [0, n) -> good child spans
+    (src/read.cpp:119-130; shared by the token-grain and base-grain scrub
+    paths so both have identical corner semantics. Documented deviation:
+    the reference walks ranges in insertion order, which in a token world
+    can interleave a trim range (separator-inclusive) with a split range
+    (separator-exclusive); sort+merge resolves that corner
+    deterministically)."""
+    bad = sorted(bad_ranges)
     merged: list[tuple[int, int]] = []
-    for s, e in bad_ranges:
+    for s, e in bad:
         if merged and s <= merged[-1][1]:
             merged[-1] = (merged[-1][0], max(merged[-1][1], e))
         else:
@@ -245,11 +256,7 @@ def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
         pos = max(pos, e)
     if pos < n:
         children.append((pos, n))
-    if not children:
-        # zero children -> the parent is kept as itself
-        # (m_child_reads.size()==0 path, src/main.cpp:140-147)
-        return ScrubResult(child_spans=[(0, n)], changed=False)
-    return ScrubResult(child_spans=children, changed=True)
+    return children
 
 
 def child_name(url: str, start: int, end: int) -> str:

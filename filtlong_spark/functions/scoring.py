@@ -35,7 +35,9 @@ def _register_self_contained_pickling() -> None:
         import cloudpickle  # type: ignore
     for mod in ("filtlong_spark.core", "filtlong_spark.functions.scoring",
                 "filtlong_spark.operators.similarity",
-                "filtlong_spark.operators.dedup"):
+                "filtlong_spark.operators.dedup",
+                "filtlong_spark.functions.seqscore",
+                "filtlong_spark.sources.fastx"):
         if mod in sys.modules:
             cloudpickle.register_pickle_by_value(sys.modules[mod])
 
