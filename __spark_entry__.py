@@ -294,6 +294,43 @@ def q_ann_topk(spark, sf_dir):
             .orderBy("probe_id", "rank"))
 
 
+LM_THRESHOLD = 0.01
+
+
+def q_lm_quality(spark, sf_dir):
+    """Bigram-LM (KenLM-style perplexity slot) quality: self-corpus bigram
+    model with unigram backoff; token good iff p(tok|prev) >= threshold.
+    Pure Catalyst: posexplode + lag window + two count aggs + joins —
+    integer-count-exact, so DuckDB produces identical doubles."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id",
+                    F.posexplode(F.expr(ts.TOKENS)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = toks.withColumn("prev", F.lag("tok").over(w))
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    total = c1.agg(F.sum("c1")).collect()[0][0]
+    c2 = (toks.filter(F.col("prev").isNotNull())
+          .groupBy("prev", "tok").agg(F.count("*").alias("c2")))
+    j = (toks
+         .join(F.broadcast(c2), ["prev", "tok"], "left")
+         .join(F.broadcast(c1.withColumnRenamed("tok", "prev")
+                           .withColumnRenamed("c1", "c_prev")), "prev", "left")
+         .join(F.broadcast(c1), "tok", "left"))
+    p = (F.when(F.col("prev").isNull(),
+                F.col("c1").cast("double") / F.lit(float(total)))
+         .when(F.col("c2").isNotNull(),
+               F.col("c2").cast("double") / F.col("c_prev"))
+         .otherwise(F.lit(0.4) * (F.col("c1").cast("double")
+                                  / F.lit(float(total)))))
+    good = F.when(p >= F.lit(LM_THRESHOLD), 1).otherwise(0)
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(good).alias("good_tokens"),
+                 (100.0 * F.sum(good) / F.count(F.lit(1))).alias("lm_mean_q"))
+            .orderBy("doc_id"))
+
+
 def q_ann_lsh(spark, sf_dir):
     """Sign-LSH bucketed ANN candidates (the scale path: equi-join on
     bucket, no broadcast of the corpus). Rows-only check: the hyperplane
@@ -361,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "simhash": q_simhash,
+        "lm_quality": q_lm_quality,
         "ann_cosine": q_ann_cosine,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,           # rows-only (no SQL oracle)
@@ -708,6 +746,42 @@ SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
          AS simhash
 FROM votes GROUP BY doc_id ORDER BY doc_id"""
+
+    sql["lm_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok,
+         generate_subscripts({TOKENS_SQL}, 1) AS pos
+  FROM {DOCS}
+),
+seq AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+c1 AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+tot AS (SELECT sum(c1) AS total FROM c1),
+c2 AS (
+  SELECT prev, tok, count(*) AS c2 FROM seq
+  WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+p AS (
+  SELECT s.doc_id,
+         CASE WHEN s.prev IS NULL THEN u.c1::DOUBLE / t.total::DOUBLE
+              WHEN b.c2 IS NOT NULL THEN b.c2::DOUBLE / up.c1
+              ELSE 0.4 * (u.c1::DOUBLE / t.total::DOUBLE)
+         END AS p
+  FROM seq s
+  LEFT JOIN c2 b ON b.prev = s.prev AND b.tok = s.tok
+  LEFT JOIN c1 up ON up.tok = s.prev
+  LEFT JOIN c1 u ON u.tok = s.tok
+  CROSS JOIN tot t
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN p >= {LM_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
+         AS good_tokens,
+       100.0 * sum(CASE WHEN p >= {LM_THRESHOLD} THEN 1 ELSE 0 END)
+         / count(*) AS lm_mean_q
+FROM p GROUP BY doc_id ORDER BY doc_id"""
 
     sql["ann_cosine"] = (_COS_PAIR_SQL.format(probe_max=20)
                          + "SELECT probe_id, vec_id, cos FROM pairs "

@@ -77,11 +77,13 @@ class FilterConfig:
     # PII/toxicity regex scrub (north_rule): spans are ALWAYS removed
     pii_scrub: bool = False
 
-    # quality-signal source: 'intrinsic' (fixed vocabulary <- Phred mode)
-    # or 'refset' (accepted set built from a reference corpus <- k-mer mode)
+    # quality-signal source: 'intrinsic' (fixed vocabulary <- Phred mode),
+    # 'refset' (accepted set built from a reference corpus <- k-mer mode),
+    # or 'bigram_lm' (corpus bigram model, KenLM-style perplexity slot)
     mode: str = "intrinsic"
     vocab: frozenset[str] = field(default_factory=frozenset)
     required_copies: int = 4               # refset count threshold (src/kmers.cpp:41)
+    lm_threshold: float = 0.01             # bigram_lm: good iff p >= this
 
     # langid gate (A2 analog)
     langid_enabled: bool = False
@@ -131,14 +133,14 @@ class FilterConfig:
                         ("--window_q_weight", self.window_q_weight)):
             if w < 0:
                 raise ConfigError(f"Error: the value for {name} must be a positive value")
-        if (self.trim or self.split is not None) and self.mode != "refset":
+        if (self.trim or self.split is not None) \
+                and self.mode == "intrinsic" and not self.vocab:
             # reference: --trim/--split require an external reference
-            # (src/arguments.cpp:298-308); web analog: scrub requires the
-            # reference corpus OR an explicit vocabulary signal
-            if not self.vocab:
-                raise ConfigError(
-                    "Error: --trim and --split require a reference corpus or vocabulary")
-        if self.mode not in ("intrinsic", "refset"):
+            # (src/arguments.cpp:298-308); web analog: scrub requires a
+            # quality signal (vocabulary, reference corpus, or LM)
+            raise ConfigError(
+                "Error: --trim and --split require a reference corpus or vocabulary")
+        if self.mode not in ("intrinsic", "refset", "bigram_lm"):
             raise ConfigError(f"Error: unknown mode {self.mode!r}")
         if self.budget_algorithm not in ("exact", "approx"):
             raise ConfigError(f"Error: unknown budget_algorithm {self.budget_algorithm!r}")

@@ -59,6 +59,17 @@ def token_quality(tokens: list[str], accepted: set[str]) -> np.ndarray:
                        dtype=np.float64, count=len(tokens))
 
 
+def quality_for(accepted):
+    """Dispatch the per-token quality painter from a broadcast payload:
+    a plain set (vocab / accepted n-grams) or an ('lm', c2, c1, total,
+    threshold) bigram-LM tuple. Single dispatch point shared by the Spark
+    mappers and the oracle."""
+    if isinstance(accepted, tuple) and accepted and accepted[0] == "lm":
+        _, c2, c1, total, thr = accepted
+        return lambda toks: bigram_quality(toks, c2, c1, total, thr)
+    return lambda toks: token_quality(toks, accepted)
+
+
 def mean_quality(q: np.ndarray) -> float:
     """100 * mean(per-token quality). Reference: src/read.cpp:208-213.
 
@@ -292,6 +303,73 @@ def predict_lang(tokens: list[str]) -> tuple[str, float]:
         return "und", 0.0
     best = max(sorted(counts), key=lambda l: counts[l])
     return best, counts[best] / total
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality (the KenLM-style perplexity slot of the
+# north_star; the reference's per-base Phred signal reborn as per-token
+# model probability). Deterministic, integer-count-exact, mirrored by the
+# Catalyst/SQL implementations.
+# ---------------------------------------------------------------------------
+
+BACKOFF = 0.4           # Katz-style unigram backoff weight
+LM_THRESHOLD = 0.01     # token painted good iff p(tok|prev) >= threshold
+
+
+def build_bigram_lm(docs_tokens: list[list[str]]):
+    """(bigram_counts, unigram_counts, total_tokens) from a corpus."""
+    c2: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    total = 0
+    for toks in docs_tokens:
+        for i, t in enumerate(toks):
+            c1[t] = c1.get(t, 0) + 1
+            total += 1
+            if i > 0:
+                key = (toks[i - 1], t)
+                c2[key] = c2.get(key, 0) + 1
+    return c2, c1, total
+
+
+def bigram_prob(prev: str | None, tok: str, c2, c1, total: int) -> float:
+    """p(tok|prev) with unigram backoff; first token (prev=None) uses the
+    unigram probability. All ratios of exact integer counts."""
+    if prev is not None:
+        pair = c2.get((prev, tok), 0)
+        if pair > 0:
+            return pair / c1[prev]
+    uni = c1.get(tok, 0)
+    if uni > 0:
+        p = uni / total
+        return p if prev is None else BACKOFF * p
+    return 1.0 / (10.0 * total)
+
+
+def bigram_quality(tokens: list[str], c2, c1, total: int,
+                   threshold: float = LM_THRESHOLD) -> np.ndarray:
+    """Per-token 0/1 painting: good iff model probability >= threshold
+    (the LM rendering of k-mer painting; feeds the same mean/window/scrub
+    machinery)."""
+    n = len(tokens)
+    q = np.zeros(n, dtype=np.float64)
+    prev = None
+    for i, t in enumerate(tokens):
+        if bigram_prob(prev, t, c2, c1, total) >= threshold:
+            q[i] = 1.0
+        prev = t
+    return q
+
+
+def doc_perplexity(tokens: list[str], c2, c1, total: int) -> float:
+    """exp(-mean log p) over the token stream (documentation metric)."""
+    if not tokens:
+        return float("inf")
+    s = 0.0
+    prev = None
+    for t in tokens:
+        s += math.log(bigram_prob(prev, t, c2, c1, total))
+        prev = t
+    return math.exp(-s / len(tokens))
 
 
 # ---------------------------------------------------------------------------

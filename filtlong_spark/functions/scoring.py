@@ -62,10 +62,11 @@ def _score_batch(texts: pd.Series, accepted: set[str], cfg_dict: dict) -> pd.Dat
     want_spans = trim or split is not None
     out = {k: [] for k in ("n_chars", "n_tokens", "mean_q", "window_q",
                            "ratio", "child_spans", "scrubbed")}
+    qfn = core.quality_for(accepted)
     for text in texts:
         text = text or ""
         toks = core.tokenize(text)
-        q = core.token_quality([t for t, _, _ in toks], accepted)
+        q = qfn([t for t, _, _ in toks])
         mq = core.mean_quality(q)
         wq = core.window_quality(q, window_size)
         out["n_chars"].append(len(text))
@@ -138,7 +139,7 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
 
     def score_one(text):
         toks = core.tokenize(text)
-        q = core.token_quality([t for t, _, _ in toks], accepted_bc.value)
+        q = core.quality_for(accepted_bc.value)([t for t, _, _ in toks])
         mq = core.mean_quality(q)
         wq = core.window_quality(q, window_size)
         return toks, q, mq, wq

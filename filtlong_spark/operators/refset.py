@@ -39,15 +39,39 @@ def accepted_df(ref_pages: DataFrame, required_copies: int) -> DataFrame:
             .select("token", "cnt"))
 
 
+def bigram_lm_counts(ref_pages: DataFrame):
+    """Distributed bigram/unigram counting for the LM quality mode:
+    posexplode + lag window + two hash aggregates (all codegen). Counts
+    are exact integers -> identical probabilities in every engine."""
+    from pyspark.sql import Window
+    toks = ref_pages.select(
+        "url", F.posexplode(F.expr(TOKENIZE_EXPR)).alias("pos", "tok"))
+    w = Window.partitionBy("url").orderBy("pos")
+    toks = toks.withColumn("prev", F.lag("tok").over(w))
+    c1 = {r["tok"]: r["c"] for r in
+          toks.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+    c2 = {(r["prev"], r["tok"]): r["c"] for r in
+          (toks.filter(F.col("prev").isNotNull())
+           .groupBy("prev", "tok").agg(F.count("*").alias("c")).collect())}
+    return c2, c1, sum(c1.values())
+
+
 def build_broadcast(spark: SparkSession, cfg: FilterConfig,
                     ref_pages: DataFrame | None):
-    """B4 build side: broadcast the accepted-token set for sub-row-grain
-    probing inside the scoring UDF (a broadcast semi-join at token grain)."""
+    """B4 build side: broadcast the quality-signal payload for sub-row-
+    grain probing inside the scoring UDF (a broadcast semi-join at token
+    grain): the vocabulary set, the corpus-built accepted set, or the
+    bigram LM counts."""
     if cfg.mode == "intrinsic":
-        accepted = set(cfg.vocab)
+        payload = set(cfg.vocab)
+    elif cfg.mode == "bigram_lm":
+        if ref_pages is None:
+            raise ValueError("bigram_lm mode requires a reference corpus DataFrame")
+        c2, c1, total = bigram_lm_counts(ref_pages)
+        payload = ("lm", c2, c1, total, cfg.lm_threshold)
     else:
         if ref_pages is None:
             raise ValueError("refset mode requires a reference corpus DataFrame")
         rows = accepted_df(ref_pages, cfg.required_copies).select("token").collect()
-        accepted = {r[0] for r in rows}
-    return spark.sparkContext.broadcast(accepted)
+        payload = {r[0] for r in rows}
+    return spark.sparkContext.broadcast(payload)

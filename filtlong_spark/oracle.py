@@ -50,15 +50,18 @@ class OracleResult:
     target: int | None = None
 
 
-def build_accepted(cfg: FilterConfig, ref_rows: list[dict] | None) -> set[str]:
-    """The accepted-token set (web analog of the k-mer set, SURVEY.md §2B).
-
-    intrinsic mode -> the fixed vocabulary; refset mode -> tokens of the
-    reference corpus with corpus count >= required_copies
-    (src/kmers.cpp:41,137-166; assembly corpora pass required_copies=1)."""
+def build_accepted(cfg: FilterConfig, ref_rows: list[dict] | None):
+    """The quality-signal payload (web analog of the k-mer set,
+    SURVEY.md §2B): vocabulary, count-thresholded accepted set
+    (src/kmers.cpp:41,137-166), or the bigram-LM counts."""
     if cfg.mode == "intrinsic":
         return set(cfg.vocab)
     assert ref_rows is not None
+    if cfg.mode == "bigram_lm":
+        docs_tokens = [[t for t, _, _ in core.tokenize(r["text"])]
+                       for r in ref_rows]
+        c2, c1, total = core.build_bigram_lm(docs_tokens)
+        return ("lm", c2, c1, total, cfg.lm_threshold)
     counts: dict[str, int] = {}
     for r in ref_rows:
         for t, _, _ in core.tokenize(r["text"]):
@@ -68,7 +71,7 @@ def build_accepted(cfg: FilterConfig, ref_rows: list[dict] | None) -> set[str]:
 
 def _score_doc(d: OracleDoc, accepted: set[str], cfg: FilterConfig) -> None:
     toks = core.tokenize(d.text)
-    q = core.token_quality([t for t, _, _ in toks], accepted)
+    q = core.quality_for(accepted)([t for t, _, _ in toks])
     d.n_chars = len(d.text)
     d.mean_q = core.mean_quality(q)
     d.window_q = core.window_quality(q, cfg.window_size)
@@ -108,7 +111,7 @@ def run_pipeline(rows: list[dict], cfg: FilterConfig,
         parent = OracleDoc(url=r["url"], text=text, order=order)
         if scrub:
             toks = core.tokenize(text)
-            q = core.token_quality([t for t, _, _ in toks], accepted)
+            q = core.quality_for(accepted)([t for t, _, _ in toks])
             spans_q = [(s, e, float(q[i])) for i, (_, s, e) in enumerate(toks)]
             extra = core.pii_spans(text) if cfg.pii_scrub else None
             res = core.scrub_spans(text, spans_q, cfg.trim, cfg.split, extra)

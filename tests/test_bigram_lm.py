@@ -1,0 +1,51 @@
+"""Bigram-LM quality mode (KenLM-style perplexity slot)."""
+
+import numpy as np
+import pytest
+
+from filtlong_spark import core
+from filtlong_spark import fixtures as fx
+from filtlong_spark import oracle
+from filtlong_spark.config import FilterConfig
+from filtlong_spark.plans.pipeline import run_filter
+
+
+def test_bigram_counts_and_prob():
+    c2, c1, total = core.build_bigram_lm([["a", "b", "a", "b"], ["a", "c"]])
+    assert c1 == {"a": 3, "b": 2, "c": 1} and total == 6
+    assert c2 == {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    assert core.bigram_prob("a", "b", c2, c1, total) == 2 / 3
+    assert core.bigram_prob(None, "a", c2, c1, total) == 3 / 6
+    # unseen bigram -> unigram backoff
+    assert core.bigram_prob("c", "a", c2, c1, total) == 0.4 * (3 / 6)
+    # unseen token -> epsilon
+    assert core.bigram_prob("a", "zzz", c2, c1, total) == 1 / 60
+
+
+def test_bigram_quality_threshold():
+    c2, c1, total = core.build_bigram_lm([["a", "b"] * 50])
+    q = core.bigram_quality(["a", "b", "zzz"], c2, c1, total, threshold=0.01)
+    assert list(q) == [1.0, 1.0, 0.0]
+
+
+def test_doc_perplexity_orders_docs():
+    corpus = [["the", "fast", "sort"] * 20]
+    c2, c1, total = core.build_bigram_lm(corpus)
+    good = core.doc_perplexity(["the", "fast", "sort"], c2, c1, total)
+    bad = core.doc_perplexity(["zq", "xv", "kk"], c2, c1, total)
+    assert good < bad
+
+
+def test_pipeline_bigram_mode_matches_oracle(spark):
+    rows = fx.sort_suite()
+    ref = fx.ref_corpus(noisy=True)
+    cfg = dict(min_length=1, mode="bigram_lm", keep_percent=90.0)
+    res_o = oracle.run_pipeline(rows, FilterConfig(**cfg), ref_rows=ref)
+    res_s = run_filter(spark, fx.to_spark_df(spark, rows),
+                       FilterConfig(**cfg),
+                       ref_pages=fx.to_spark_df(spark, ref))
+    got = sorted((r["url"], r["mean_q"], r["window_q"], r["final_score"])
+                 for r in res_s.kept.collect())
+    exp = sorted((d.url, d.mean_q, d.window_q, d.final_score)
+                 for d in res_o.kept)
+    assert got == exp and len(got) > 0
