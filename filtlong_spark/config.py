@@ -94,6 +94,16 @@ class FilterConfig:
     # the 100 TB path; SURVEY.md §2 F4)
     budget_algorithm: str = "exact"
 
+    # survivor output ordering: 'global' (one total orderBy — the literal
+    # stdout contract) or 'partitioned' (range-partition + sort within
+    # partitions — same content, no global sort; the 100 TB sink shape)
+    output_ordering: str = "global"
+
+    # bigram_lm distributed path: bigram/unigram entries with corpus count
+    # below this are pruned from the model tables before the quality join
+    # (bounds the broadcast side at web scale; 1 = exact/no pruning)
+    lm_min_count: int = 1
+
     def __post_init__(self) -> None:
         for f in ("min_length", "max_length", "target_chars", "split"):
             v = getattr(self, f)
@@ -144,4 +154,8 @@ class FilterConfig:
             raise ConfigError(f"Error: unknown mode {self.mode!r}")
         if self.budget_algorithm not in ("exact", "approx"):
             raise ConfigError(f"Error: unknown budget_algorithm {self.budget_algorithm!r}")
+        if self.output_ordering not in ("global", "partitioned"):
+            raise ConfigError(f"Error: unknown output_ordering {self.output_ordering!r}")
+        if self.lm_min_count < 1:
+            raise ConfigError("Error: the value for lm_min_count must be a positive integer")
         return self

@@ -23,18 +23,41 @@ def host_of(url_col) -> "F.Column":
     return F.regexp_extract(url_col, r"^https?://([^/]+)/", 1)
 
 
-def with_salt(df: DataFrame, key: str = "url", n_salts: int = 16) -> DataFrame:
-    """Deterministic salt column in [0, n_salts) from xxhash64 of the key
-    (no RNG: repeatable across retries/resumes)."""
-    return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)).cast("int"))
+def with_salt(df: DataFrame, key: str = "host", n_salts: int = 16,
+              salt_from: str | None = "url") -> DataFrame:
+    """Salt column in [0, n_salts) that VARIES WITHIN a key.
+
+    The salt must come from something finer-grained than ``key`` — a pure
+    function of the key itself assigns every row of a hot key the same
+    salt and spreads nothing. Two sources:
+
+    - ``salt_from=<col>``: pmod(xxhash64(key, salt_from), n) — fully
+      deterministic (repeatable across retries/resumes); requires a payload
+      column with per-row variation (url under a host key, doc_id, text).
+    - ``salt_from=None``: cycle on the per-partition row counter
+      (monotonically_increasing_id mod n) — shuffle-free and works even
+      when rows of a key are bit-identical. Stable on task retry when the
+      input is a deterministic scan (parquet splits replay identically);
+      NOT stable if an upstream shuffle's partitioning changes (AQE
+      coalescing between runs), so prefer a payload column for resumable
+      jobs.
+    """
+    if salt_from is not None:
+        salt = F.pmod(F.xxhash64(F.col(key), F.col(salt_from)),
+                      F.lit(n_salts))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    return df.withColumn("_salt", salt.cast("int"))
 
 
 def repartition_salted(df: DataFrame, n_partitions: int,
-                       key: str = "url", n_salts: int = 16) -> DataFrame:
-    """Hash-repartition on (key, salt) — same-key rows spread over
-    n_salts partitions, defusing single-host hot spots."""
-    return with_salt(df, key, n_salts).repartition(
+                       key: str = "host", n_salts: int = 16,
+                       salt_from: str | None = "url") -> DataFrame:
+    """Hash-repartition on (key, salt) — same-key rows spread over up to
+    n_salts distinct shuffle targets, defusing single-host hot spots.
+    Downstream aggregations must run two-stage (partial per (key, salt),
+    final per key) exactly like skew_aware_host_agg."""
+    return with_salt(df, key, n_salts, salt_from).repartition(
         n_partitions, F.col(key), F.col("_salt"))
 
 

@@ -66,6 +66,18 @@ def run_filtlong(spark: SparkSession, reads: DataFrame, cfg: FilterConfig,
     """Entry points 3.1-3.3 of SURVEY.md: Phred mode (no reference),
     assembly reference mode (-a), or short-read reference mode (-1/-2 —
     pass their union as ref_reads)."""
+    # --trim/--split need an external reference in FASTX mode
+    # (src/arguments.cpp:298-308, exact messages; without this guard the
+    # scrub would silently no-op because score_read skips painting).
+    # Checked BEFORE validate(), matching the reference's argument-parse
+    # ordering (the reference emits this error first too).
+    if assembly is None and ref_reads is None:
+        if cfg.trim:
+            raise ValueError(
+                "Error: assembly or read reference is required to use --trim")
+        if cfg.split is not None:
+            raise ValueError(
+                "Error: assembly or read reference is required to use --split")
     cfg.validate()
 
     # A2/A4 validation in one small aggregate (names + formats only)

@@ -54,6 +54,34 @@ class PipelineResult:
         return self
 
 
+# cfg fields baked into the committed reads2 snapshot (anything that moves
+# per-doc metrics, hard_passed, or the child set). Budget/weight fields are
+# applied AFTER the snapshot, so changing them on resume is legal.
+_SNAPSHOT_FIELDS = (
+    "window_size", "trim", "split", "pii_scrub", "mode", "vocab",
+    "required_copies", "lm_threshold", "lm_min_count",
+    "langid_enabled", "langid_expected",
+    "min_length", "max_length", "min_mean_q", "min_window_q",
+)
+
+
+def _check_resume_config(cfg: FilterConfig, committed: dict) -> None:
+    """Refuse to resume from a snapshot scored under a different config —
+    silently reusing stale scores would mislabel every document. Budget /
+    weight knobs may change freely (they run after the snapshot)."""
+    def canon(v):
+        return sorted(v) if isinstance(v, (frozenset, set, list, tuple)) else v
+    diffs = [f for f in _SNAPSHOT_FIELDS
+             if f in committed and canon(committed[f]) != canon(
+                 getattr(cfg, f, None))]
+    if diffs:
+        from ..config import ConfigError
+        raise ConfigError(
+            "Error: cannot resume — checkpoint was scored with a different "
+            f"config (mismatched fields: {', '.join(diffs)}); use a new "
+            "checkpoint_dir or pass resume=False to re-score")
+
+
 def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                ref_pages: DataFrame | None = None,
                checkpoint_dir: str | None = None,
@@ -73,8 +101,9 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
 
     resumed = resume and output_op.is_committed(os.path.join(scratch, "reads2"))
     if resumed:
-        reads2 = spark.read.parquet(os.path.join(scratch, "reads2"))
         lineage = output_op.read_lineage(scratch) or {}
+        _check_resume_config(cfg, lineage.get("config") or {})
+        reads2 = spark.read.parquet(os.path.join(scratch, "reads2"))
         total_input_chars = lineage.get("total_input_chars", 0)
     else:
         # raw input char total (src/main.cpp:89) — observed on the scoring
@@ -128,8 +157,20 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                 F.when(F.col("is_child"),
                        F.substring(F.col("text"), F.col("child_start") + 1,
                                    F.col("child_end") - F.col("child_start")))
-                .otherwise(F.col("text")))
-            .orderBy("warc_ts", "url", "child_start"))
+                .otherwise(F.col("text"))))
+    # survivor order = input order, children in span order (the reference's
+    # output contract, src/main.cpp:284-309). Keyed on parent_url, NOT the
+    # child url: sibling children share warc_ts and child names sort
+    # lexicographically ("_15-19" < "_4-8"), so url ordering would invert
+    # digit-crossing child starts.
+    order_cols = ("warc_ts", "parent_url", "child_start")
+    if cfg.output_ordering == "partitioned":
+        # 100 TB path: no global sort — range-partition on the leading keys
+        # and sort within each output task (what an Iceberg write task does)
+        kept = (kept.repartitionByRange(*order_cols[:2])
+                .sortWithinPartitions(*order_cols))
+    else:
+        kept = kept.orderBy(*order_cols)
     return PipelineResult(kept=kept, reads2=labeled, quarantine=quarantine,
                           total_input_chars=total_input_chars, target=target,
                           scratch_dir=scratch, resumed=resumed,

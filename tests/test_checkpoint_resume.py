@@ -41,6 +41,31 @@ def test_resume_skips_scoring_and_matches(spark, tmp_path):
     assert kept1 == kept2
 
 
+def test_resume_with_changed_scoring_config_refused(spark, tmp_path):
+    """Resuming a snapshot scored under a different scoring config must
+    refuse (stale scores would silently mislabel); budget-only changes
+    are applied post-snapshot and remain legal."""
+    import pytest
+
+    from filtlong_spark.config import ConfigError
+    ckpt = str(tmp_path / "ckpt3")
+    rows = fx.volume(sf=0.0002)
+    df = fx.to_spark_df(spark, rows)
+    run_filter(spark, df, _cfg(min_length=100, trim=True),
+               checkpoint_dir=ckpt)
+    with pytest.raises(ConfigError, match="trim"):
+        run_filter(spark, df, _cfg(min_length=100, trim=False, split=40),
+                   checkpoint_dir=ckpt)
+    # budget knobs change post-snapshot: resume stays legal
+    r = run_filter(spark, df, _cfg(min_length=100, trim=True,
+                                   keep_percent=50.0), checkpoint_dir=ckpt)
+    assert r.resumed
+    # explicit resume=False re-scores under the new config
+    r2 = run_filter(spark, df, _cfg(min_length=100, split=40),
+                    checkpoint_dir=ckpt, resume=False)
+    assert not r2.resumed
+
+
 def test_fresh_run_after_cleanup(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
     rows = fx.sort_suite()

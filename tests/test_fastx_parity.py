@@ -157,3 +157,16 @@ class TestErrorParity:
         dup = sort_reads.union(sort_reads.limit(1))
         with pytest.raises(ValueError, match="duplicate read name"):
             fp.run_filtlong(spark, dup, FilterConfig(target_chars=1))
+
+    def test_trim_without_reference(self, spark, sort_reads):
+        # src/arguments.cpp:299-306 / test/test_error_messages.py:134-143
+        with pytest.raises(ValueError, match=(
+                r"Error: assembly or read reference is required to use "
+                r"--trim")):
+            fp.run_filtlong(spark, sort_reads, FilterConfig(trim=True))
+
+    def test_split_without_reference(self, spark, sort_reads):
+        with pytest.raises(ValueError, match=(
+                r"Error: assembly or read reference is required to use "
+                r"--split")):
+            fp.run_filtlong(spark, sort_reads, FilterConfig(split=250))

@@ -98,6 +98,45 @@ def test_volume_scrub_fidelity(spark):
     assert len(got) > 0
 
 
+def test_child_output_order_digit_inversion(spark):
+    """Sibling children whose start offsets cross a digit boundary (4 vs
+    13) sort lexicographically inverted by NAME ('_13-15' < '_4-7'); the
+    output must still be in SPAN order (src/main.cpp:284-309)."""
+    # tokens: zzz(bad, 0-3)  aa(good)  zzzzz(bad, 7-12)  aa(good)
+    # split=3 -> bad runs [0,3) and [7,12) -> children (3,7) and (12,15)
+    rows = [{"url": "https://fixture.test/inv", "warc_ts": None,
+             "html": None, "text": "zzz aa zzzzz aa", "lang": "en"}]
+    kw = dict(split=3, min_length=1, vocab=frozenset({"aa"}))
+    got, _ = _spark_kept(spark, rows, _cfg(**kw))
+    exp, _ = _oracle_kept(rows, _cfg(**kw))
+    assert got == exp
+    assert [g[0] for g in got] == ["https://fixture.test/inv_4-7",
+                                   "https://fixture.test/inv_13-15"]
+
+
+def test_partitioned_output_ordering(spark):
+    """output_ordering='partitioned' must produce the same survivor set
+    with per-partition span order and NO global sort in the plan."""
+    rows = fx.volume(sf=0.0002)
+    kw = dict(trim=True, split=40, min_length=100)
+    g, _ = _spark_kept(spark, rows, _cfg(**kw, output_ordering="global"))
+    df = fx.to_spark_df(spark, rows)
+    res = run_filter(spark, df, _cfg(**kw, output_ordering="partitioned"))
+    plan = res.kept._jdf.queryExecution().optimizedPlan().toString()
+    assert not any(ln.strip().startswith("Sort") and ", true" in ln
+                   for ln in plan.split("\n")), plan
+    p = [(r["url"], r["n_chars"], r["mean_q"], r["window_q"],
+          r["final_score"], r["text"]) for r in res.kept.collect()]
+    assert sorted(p) == sorted(g)
+    # span order must hold within every output partition
+    part_rows = res.kept.select(
+        "warc_ts", "parent_url", "child_start").rdd.glom().collect()
+    for part in part_rows:
+        keys = [(r["warc_ts"], r["parent_url"], r["child_start"])
+                for r in part]
+        assert keys == sorted(keys)
+
+
 def test_approx_budget_equals_exact(spark):
     rows = fx.volume(sf=0.0003)
     kw = dict(min_length=200, target_chars="200k")
