@@ -166,6 +166,197 @@ def final_score(length_s: float, mean_q_score: float, ratio: float,
 
 
 # ---------------------------------------------------------------------------
+# Flat (batch-vectorized) kernels: the same math as the scalar functions
+# above, computed once over the concatenated token stream of a whole Arrow
+# batch. Property-tested bit-identical to the scalar path (tests/test_core).
+# The scalar functions remain the oracle's source of truth.
+# ---------------------------------------------------------------------------
+
+
+# every codepoint matched by re \s (Python 3.11 str patterns) — verified
+# exhaustively against re.match(r"\s") over all codepoints in tests.
+WS_CODES = np.array([
+    0x0009, 0x000A, 0x000B, 0x000C, 0x000D, 0x001C, 0x001D, 0x001E, 0x001F,
+    0x0020, 0x0085, 0x00A0, 0x1680, 0x2000, 0x2001, 0x2002, 0x2003, 0x2004,
+    0x2005, 0x2006, 0x2007, 0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F,
+    0x205F, 0x3000], dtype=np.uint32)
+_WS_MAX = 0x3000
+# one extra False slot: codes above the table clip onto it (never ws)
+_WS_LUT = np.zeros(_WS_MAX + 2, dtype=bool)
+_WS_LUT[WS_CODES] = True
+_WS_LUT_ASCII = np.zeros(256, dtype=bool)
+_WS_LUT_ASCII[WS_CODES[WS_CODES < 256]] = True
+
+
+class TokenBatch:
+    """Flat tokenization of a whole batch: tokens (flat list, doc order),
+    doc_of (doc index per token), starts/ends (DOC-LOCAL char offsets),
+    counts (tokens per doc), doc_starts (each doc's char offset in the
+    blob, for mapping blob-level regex hits back to docs)."""
+    __slots__ = ("tokens", "doc_of", "starts", "ends", "counts",
+                 "doc_starts", "blob")
+
+    def __init__(self, tokens, doc_of, starts, ends, counts, doc_starts,
+                 blob):
+        self.tokens, self.doc_of = tokens, doc_of
+        self.starts, self.ends, self.counts = starts, ends, counts
+        self.doc_starts, self.blob = doc_starts, blob
+
+    def doc_tokens(self, d: int) -> list[str]:
+        o = int(self.counts[:d].sum())  # rare path (LM fallback only)
+        return self.tokens[o:o + int(self.counts[d])]
+
+
+def batch_tokenize(texts: list[str]) -> TokenBatch:
+    """Tokenize a batch with ZERO per-token Python: join the docs into one
+    blob (single-space separators — whitespace, so tokens never straddle
+    docs), findall the tokens in one C call, and derive char offsets from
+    a utf-32 view of the blob (one codepoint per uint32 = Python string
+    indexing) with vectorized \\S-run boundary detection. Bit-identical to
+    tokenize() per doc (property-tested incl. exotic unicode whitespace).
+    """
+    nd = len(texts)
+    empty = np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nd)
+    doc_starts = np.zeros(nd, dtype=np.int64)
+    if nd > 1:
+        np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+    blob = " ".join(texts)
+    tokens = TOKEN_RE.findall(blob)
+    if not tokens:
+        return TokenBatch([], empty, empty, empty,
+                          np.zeros(nd, dtype=np.int64), doc_starts, blob)
+    if blob.isascii():  # O(1) flag check; 4x less memory traffic
+        codes = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
+        nz = ~_WS_LUT_ASCII[codes]
+    else:
+        codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        nz = ~_WS_LUT[np.minimum(codes, _WS_MAX + 1)]
+    d8 = np.diff(nz.view(np.int8))
+    tstarts = np.nonzero(d8 == 1)[0] + 1
+    tends = np.nonzero(d8 == -1)[0] + 1
+    if nz[0]:
+        tstarts = np.concatenate(([0], tstarts))
+    if nz[-1]:
+        tends = np.concatenate((tends, [codes.size]))
+    doc_of = np.searchsorted(doc_starts, tstarts, side="right") - 1
+    starts = tstarts - doc_starts[doc_of]
+    ends = tends - doc_starts[doc_of]
+    counts = np.bincount(doc_of, minlength=nd).astype(np.int64)
+    return TokenBatch(tokens, doc_of, starts, ends, counts, doc_starts,
+                      blob)
+
+
+def flat_token_quality(tokens_flat: list[str], accepted) -> np.ndarray:
+    """Vectorized 0/1 painting of a flat token list: pandas isin (a C hash
+    probe) instead of a per-token Python loop. Identical to token_quality
+    applied per doc (set membership on identical strings)."""
+    if not tokens_flat:
+        return np.zeros(0, dtype=np.float64)
+    import pandas as pd
+    return pd.Index(tokens_flat).isin(accepted).astype(np.float64)
+
+
+def flat_mean_window(q_flat: np.ndarray, counts: np.ndarray,
+                     window_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mean_q, window_q) per doc from the concatenated quality array.
+
+    Exactness argument: all partial sums are sums of 0/1 values — exact
+    integers in float64 — so prefix-sum differences equal the per-doc sums
+    bit-for-bit, and every division has identical operands to the scalar
+    path (mean_quality / window_quality above).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    n_docs = counts.size
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    c = np.concatenate(([0.0], np.cumsum(q_flat)))
+    sums = c[offsets[1:]] - c[offsets[:-1]]
+    safe_n = np.maximum(counts, 1)
+    mean = np.where(counts > 0, 100.0 * sums / safe_n, 0.0)
+
+    win = mean.copy()  # n <= window_size -> whole-doc mean (incl. n == 0)
+    w = window_size
+    if q_flat.size > w:
+        ws = c[w:] - c[:-w]  # ws[i] = sum(q_flat[i:i+w]), exact ints
+        big = np.nonzero(counts > w)[0]
+        snap = 0.5 / w
+        for d in big:
+            o = offsets[d]
+            m = float(ws[o:o + counts[d] - w + 1].min()) / w
+            win[d] = 0.0 if m < snap else 100.0 * m
+    return mean, win
+
+
+def flat_window_ratio(mean: np.ndarray, win: np.ndarray) -> np.ndarray:
+    """Vectorized window_ratio: 1.0 when mean <= 0, else min(win/mean, 1)."""
+    safe = np.where(mean > 0.0, mean, 1.0)
+    return np.where(mean <= 0.0, 1.0, np.minimum(win / safe, 1.0))
+
+
+def _lang_tables():
+    """(langs, marker_token_list, marker_lang_ids): built lazily because
+    LANG_MARKERS is defined further down this module. Marker sets are
+    DISJOINT across languages (asserted), so one hash-join pass replaces
+    four isin probes."""
+    langs = sorted(LANG_MARKERS)
+    toks, ids = [], []
+    for i, lang in enumerate(langs):
+        for t in sorted(LANG_MARKERS[lang]):
+            toks.append(t)
+            ids.append(i)
+    assert len(set(toks)) == len(toks), "marker sets must be disjoint"
+    return langs, toks, np.array(ids, dtype=np.int64)
+
+
+_LANG_TABLES = None
+
+
+def _predict_lang_batch(tokens_flat, doc_of: np.ndarray,
+                        nd: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch predict_lang: ONE get_indexer hash-join of the flat tokens
+    against the (small) marker vocabulary, then a bincount per (doc, lang).
+    Ties -> first alphabetical language (identical to the scalar
+    max(sorted(...), key=count))."""
+    global _LANG_TABLES
+    if _LANG_TABLES is None:
+        _LANG_TABLES = _lang_tables()
+    langs, mtoks, mlang = _LANG_TABLES
+    L = len(langs)
+    per_lang = np.zeros((L, nd), dtype=np.int64)
+    if tokens_flat:
+        import pandas as pd
+        m = pd.Index(mtoks).get_indexer(tokens_flat)
+        hit = m >= 0
+        if hit.any():
+            flat_bin = np.bincount(doc_of[hit] * L + mlang[m[hit]],
+                                   minlength=nd * L)
+            per_lang = flat_bin.reshape(nd, L).T
+    total = per_lang.sum(axis=0)
+    best = per_lang.argmax(axis=0)
+    pred = np.array(langs, dtype=object)[best]
+    pred[total == 0] = "und"
+    conf = np.where(total > 0,
+                    per_lang[best, np.arange(nd)] / np.maximum(total, 1),
+                    0.0)
+    return pred, conf
+
+
+def flat_predict_lang(tokens_flat: list[str],
+                      counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized predict_lang over (flat tokens, per-doc counts)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    doc_of = np.repeat(np.arange(counts.size), counts)
+    return _predict_lang_batch(tokens_flat, doc_of, counts.size)
+
+
+def flat_predict_lang_tb(tb: "TokenBatch",
+                         nd: int) -> tuple[np.ndarray, np.ndarray]:
+    """predict_lang over a TokenBatch (doc_of already materialized)."""
+    return _predict_lang_batch(tb.tokens, tb.doc_of, nd)
+
+
+# ---------------------------------------------------------------------------
 # Scrub (trim/split) span computation — reference src/read.cpp:75-143
 # ---------------------------------------------------------------------------
 
@@ -232,13 +423,20 @@ def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
             if tr[1] > tr[0] and tr not in bad_ranges:
                 bad_ranges.append(tr)
 
+    return finalize_scrub(bad_ranges, n)
+
+
+def finalize_scrub(bad_ranges: list[tuple[int, int]], n: int) -> ScrubResult:
+    """Shared tail of scrub_spans: complement the bad ranges; empty bad set
+    or zero children -> the parent survives unchanged (the
+    m_child_reads.size()==0 path, src/main.cpp:140-147). Called by both the
+    scalar path above and the batch-vectorized scrubber (functions/scoring)
+    so the corner semantics can never diverge."""
     if not bad_ranges:
         return ScrubResult(child_spans=[(0, n)], changed=False)
 
     children = complement_bad_ranges(bad_ranges, n)
     if not children:
-        # zero children -> the parent is kept as itself
-        # (m_child_reads.size()==0 path, src/main.cpp:140-147)
         return ScrubResult(child_spans=[(0, n)], changed=False)
     return ScrubResult(child_spans=children, changed=True)
 
@@ -388,6 +586,20 @@ PII_PATTERNS = [
 ]
 # placeholder toxicity lexicon (swap for a real one in production)
 TOXIC_RE = re.compile(r"\b(?:frobnak|grubbix|zlorty)\b")
+
+# cheap NECESSARY conditions per pattern family (C-speed substring/class
+# scans): every PII_PATTERNS email needs '@', phone/SSN need a digit, the
+# toxicity lexicon needs one of its literals. Docs passing the prefilter
+# get the exact per-pattern pii_spans pass; a full-alternation regex
+# prefilter was measured 10x slower (backtracking at every position).
+# KEEP IN SYNC with PII_PATTERNS / TOXIC_RE.
+_DIGIT_RE = re.compile(r"\d")
+_TOXIC_WORDS = ("frobnak", "grubbix", "zlorty")
+
+
+def pii_possible(text: str) -> bool:
+    return ("@" in text or _DIGIT_RE.search(text) is not None
+            or any(w in text for w in _TOXIC_WORDS))
 
 
 def pii_spans(text: str) -> list[tuple[int, int]]:

@@ -112,6 +112,96 @@ READS2_SCHEMA = ("url string, parent_url string, "
                  "lang_pred string, lang_ok boolean")
 
 
+def _batch_scrub(tb, q, texts, gated, trim, split, pii):
+    """Vectorized scrub candidate detection + per-doc finalize.
+
+    Bad RUNS are found over the whole batch at once (boundary masks on the
+    flat quality array); trim edges via first/last-good-token gathers; PII
+    via one combined-regex prefilter over the blob. Only docs with an
+    actual selected range run any per-doc Python, and that per-doc step is
+    just range assembly + core.finalize_scrub — semantics identical to
+    core.scrub_spans (property-tested)."""
+    import numpy as np
+    nd = len(texts)
+    doc_of, starts, ends = tb.doc_of, tb.starts, tb.ends
+    nt = q.size
+    bad = q <= 0.0
+
+    run_doc = np.zeros(0, dtype=np.int64)
+    run_s = run_e = run_doc
+    if split is not None and nt:
+        same = np.zeros(nt, dtype=bool)
+        same[1:] = doc_of[1:] == doc_of[:-1]   # same doc as previous token
+        pb = np.zeros(nt, dtype=bool)
+        pb[1:] = bad[:-1]
+        nb = np.zeros(nt, dtype=bool)
+        nb[:-1] = bad[1:]
+        samen = np.zeros(nt, dtype=bool)
+        samen[:-1] = same[1:]                  # same doc as next token
+        rs = np.nonzero(bad & ~(same & pb))[0]   # run starts
+        re_ = np.nonzero(bad & ~(samen & nb))[0]  # run ends (paired)
+        span = ends[re_] - starts[rs]
+        sel = span >= split
+        run_doc = doc_of[rs[sel]]
+        run_s = starts[rs[sel]]
+        run_e = ends[re_[sel]]
+
+    trim_docs = np.zeros(nd, dtype=bool)
+    first_good = last_good = None
+    if trim and nt:
+        good_idx = np.nonzero(~bad)[0]
+        gdoc = doc_of[good_idx]  # sorted (token order is doc order)
+        all_d = np.arange(nd)
+        lo = np.searchsorted(gdoc, all_d, side="left")
+        hi = np.searchsorted(gdoc, all_d, side="right")
+        has_good = hi > lo
+        first_good = np.full(nd, -1, dtype=np.int64)
+        last_good = np.full(nd, -1, dtype=np.int64)
+        first_good[has_good] = starts[good_idx[lo[has_good]]]
+        last_good[has_good] = ends[good_idx[hi[has_good] - 1]]
+        nlen = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nd)
+        trim_docs[has_good] = ((first_good[has_good] > 0)
+                               | (last_good[has_good] < nlen[has_good]))
+
+    pii_by_doc = {}
+    if pii:
+        for d, t in enumerate(texts):
+            if core.pii_possible(t):  # cheap necessary-condition scan
+                sp = core.pii_spans(t)
+                if sp:
+                    pii_by_doc[d] = sp
+
+    cand = np.zeros(nd, dtype=bool)
+    if run_doc.size:
+        cand[run_doc] = True
+    cand |= trim_docs
+    for d in pii_by_doc:
+        cand[d] = True
+    cand &= ~gated
+
+    scrubbed = np.zeros(nd, dtype=bool)
+    child_rows = []
+    for d in np.nonzero(cand)[0]:
+        n = len(texts[d])
+        bad_ranges = list(pii_by_doc.get(d, ()))
+        if run_doc.size:
+            lo = np.searchsorted(run_doc, d, side="left")
+            hi = np.searchsorted(run_doc, d, side="right")
+            bad_ranges.extend((int(run_s[k]), int(run_e[k]))
+                              for k in range(lo, hi))
+        if trim and first_good is not None and first_good[d] >= 0:
+            fg, lg = int(first_good[d]), int(last_good[d])
+            if fg > 0:
+                bad_ranges.append((0, fg))
+            if n > lg:
+                bad_ranges.append((lg, n))
+        res = core.finalize_scrub(bad_ranges, n)
+        if res.changed:
+            scrubbed[d] = True
+            child_rows.extend((int(d), s, e) for s, e in res.child_spans)
+    return scrubbed, child_rows
+
+
 def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
     """One fused mapInPandas pass: score each doc, compute trim/split child
     spans, and emit either the scored parent or the fully re-scored
@@ -137,56 +227,107 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
     langid = cfg.langid_enabled
     lang_expected = cfg.langid_expected
 
-    def score_one(text):
-        toks = core.tokenize(text)
-        q = core.quality_for(accepted_bc.value)([t for t, _, _ in toks])
-        mq = core.mean_quality(q)
-        wq = core.window_quality(q, window_size)
-        return toks, q, mq, wq
-
     COLS = ["url", "parent_url", "n_chars", "n_tokens", "mean_q",
             "window_q", "ratio", "child_start", "child_end", "is_child",
             "lang_pred", "lang_ok"]
 
+    def _flat_quality(tb, accepted):
+        """Batch painting: one C-speed isin probe for set payloads; the
+        bigram-LM painter stays per-doc (order-dependent chain)."""
+        import numpy as np
+        if isinstance(accepted, tuple) and accepted and accepted[0] == "lm":
+            qfn = core.quality_for(accepted)
+            if not tb.tokens:
+                return np.zeros(0, dtype=np.float64)
+            parts, o = [], 0
+            for c in tb.counts:
+                parts.append(qfn(tb.tokens[o:o + int(c)]))
+                o += int(c)
+            return np.concatenate(parts) if parts else np.zeros(0)
+        return core.flat_token_quality(tb.tokens, accepted)
+
     def mapper(batches):
+        import numpy as np
         import pandas as pd  # noqa: F811 (worker-side)
         for pdf in batches:
-            # row-major accumulation; only url+text cross the Arrow
-            # boundary inward, metrics-only outward (no timestamps — pandas
-            # timestamp conversion was a measured hotspot)
-            rows = []
-            for url, text in zip(pdf["url"], pdf["text"]):
-                text = text or ""
-                if langid:
-                    pred, _conf = core.predict_lang(
-                        [m.group(0) for m in core.TOKEN_RE.finditer(text)])
-                    if lang_expected is not None and pred != lang_expected:
-                        # gated out before scoring (A2 analog) — emitted
-                        # with lang_ok=False so the pipeline can count and
-                        # quarantine it; never enters normalization
-                        rows.append((url, url, len(text), 0, 0.0, 0.0, 1.0,
-                                     0, len(text), False, pred, False))
-                        continue
+            # only url+text cross the Arrow boundary inward, metrics-only
+            # outward (no timestamps — pandas timestamp conversion was a
+            # measured hotspot). ZERO per-token Python: one blob tokenize
+            # (findall + utf-32 run detection), one isin paint, prefix-sum
+            # means/windows, vectorized bad-run detection; per-doc Python
+            # runs only for docs that actually scrub.
+            urls = pdf["url"].tolist()
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            nd = len(texts)
+            tb = core.batch_tokenize(texts)
+            counts = tb.counts
+            accepted = accepted_bc.value
+
+            if langid:
+                pred, _conf = core.flat_predict_lang_tb(tb, nd)
+                if lang_expected is not None:
+                    gated = pred != lang_expected
                 else:
-                    pred = None
-                toks, q, mq, wq = score_one(text)
-                if scrub:
-                    spans_q = [(s, e, float(q[i]))
-                               for i, (_, s, e) in enumerate(toks)]
-                    extra = core.pii_spans(text) if pii else None
-                    res = core.scrub_spans(text, spans_q, trim, split, extra)
-                    if res.changed:
-                        for (s, e) in res.child_spans:
-                            ctoks, cq, cmq, cwq = score_one(text[s:e])
-                            rows.append((core.child_name(url, s, e), url,
-                                         e - s, len(ctoks), cmq, cwq,
-                                         core.window_ratio(cmq, cwq),
-                                         s, e, True, pred, True))
-                        continue
-                rows.append((url, url, len(text), len(toks), mq, wq,
-                             core.window_ratio(mq, wq),
-                             0, len(text), False, pred, True))
-            yield pd.DataFrame(rows, columns=COLS)
+                    gated = np.zeros(nd, dtype=bool)
+            else:
+                pred = np.full(nd, None, dtype=object)
+                gated = np.zeros(nd, dtype=bool)
+
+            q = _flat_quality(tb, accepted)
+            mean, win = core.flat_mean_window(q, counts, window_size)
+            ratio = core.flat_window_ratio(mean, win)
+            n_chars = np.fromiter((len(t) for t in texts),
+                                  dtype=np.int64, count=nd)
+
+            scrubbed = np.zeros(nd, dtype=bool)
+            child_rows = []  # (parent_idx, start, end)
+            if scrub:
+                scrubbed, child_rows = _batch_scrub(
+                    tb, q, texts, gated, trim, split, pii)
+
+            keep_mask = ~scrubbed  # gated + unscrubbed parents
+            out = pd.DataFrame({
+                "url": np.array(urls, dtype=object),
+                "parent_url": np.array(urls, dtype=object),
+                "n_chars": n_chars,
+                "n_tokens": np.where(gated, 0, counts),
+                "mean_q": np.where(gated, 0.0, mean),
+                "window_q": np.where(gated, 0.0, win),
+                "ratio": np.where(gated, 1.0, ratio),
+                "child_start": np.zeros(nd, dtype=np.int32),
+                "child_end": n_chars.astype(np.int32),
+                "is_child": np.zeros(nd, dtype=bool),
+                "lang_pred": pred,
+                "lang_ok": ~gated,
+            })[keep_mask]
+
+            if child_rows:
+                # children re-score through the SAME flat kernels
+                ctexts = [texts[d][s:e] for d, s, e in child_rows]
+                ctb = core.batch_tokenize(ctexts)
+                ccounts = ctb.counts
+                cq = _flat_quality(ctb, accepted)
+                cmean, cwin = core.flat_mean_window(cq, ccounts, window_size)
+                kids = pd.DataFrame({
+                    "url": [core.child_name(urls[d], s, e)
+                            for d, s, e in child_rows],
+                    "parent_url": [urls[d] for d, s, e in child_rows],
+                    "n_chars": np.array([e - s for _, s, e in child_rows],
+                                        dtype=np.int64),
+                    "n_tokens": ccounts,
+                    "mean_q": cmean,
+                    "window_q": cwin,
+                    "ratio": core.flat_window_ratio(cmean, cwin),
+                    "child_start": np.array([s for _, s, _ in child_rows],
+                                            dtype=np.int32),
+                    "child_end": np.array([e for _, _, e in child_rows],
+                                          dtype=np.int32),
+                    "is_child": np.ones(len(child_rows), dtype=bool),
+                    "lang_pred": [pred[d] for d, _, _ in child_rows],
+                    "lang_ok": np.ones(len(child_rows), dtype=bool),
+                })
+                out = pd.concat([out, kids], ignore_index=True)
+            yield out
 
     return mapper, READS2_SCHEMA
 

@@ -116,3 +116,123 @@ def test_scrub_split_whole_doc_bad_keeps_parent():
 
 def test_child_name():
     assert core.child_name("u", 20, 701) == "u_21-701"
+
+
+# ---------------------------------------------------------------------------
+# Flat (batch) kernels must be BIT-IDENTICAL to the scalar path
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from([0.0, 1.0]), min_size=0, max_size=40),
+    min_size=0, max_size=12)
+
+
+@given(docs=_docs_strategy, window=st.integers(1, 12))
+@settings(max_examples=200, deadline=None)
+def test_flat_mean_window_matches_scalar(docs, window):
+    q_flat = np.array([v for d in docs for v in d], dtype=np.float64)
+    counts = np.array([len(d) for d in docs], dtype=np.int64)
+    mean, win = core.flat_mean_window(q_flat, counts, window)
+    for i, d in enumerate(docs):
+        qa = np.array(d, dtype=np.float64)
+        assert mean[i] == core.mean_quality(qa)
+        assert win[i] == core.window_quality(qa, window)
+        r = core.flat_window_ratio(mean, win)
+        assert r[i] == core.window_ratio(mean[i], win[i])
+
+
+_token_strategy = st.lists(
+    st.lists(st.sampled_from(
+        ["the", "a", "der", "el", "le", "zzz", "und", "q1", "data"]),
+        min_size=0, max_size=15),
+    min_size=0, max_size=10)
+
+
+@given(docs=_token_strategy)
+@settings(max_examples=150, deadline=None)
+def test_flat_token_quality_and_langid_match_scalar(docs):
+    flat = [t for d in docs for t in d]
+    counts = np.array([len(d) for d in docs], dtype=np.int64)
+    accepted = {"the", "a", "data", "q1"}
+    q = core.flat_token_quality(flat, accepted)
+    exp_q = (np.concatenate([core.token_quality(d, accepted) for d in docs])
+             if docs else np.zeros(0))
+    assert np.array_equal(q, exp_q)
+    pred, conf = core.flat_predict_lang(flat, counts)
+    for i, d in enumerate(docs):
+        ep, ec = core.predict_lang(d)
+        assert pred[i] == ep
+        assert conf[i] == ec
+
+
+def test_ws_codes_match_re():
+    """WS_CODES must be exactly the codepoints re \\s matches (the blob
+    tokenizer's correctness hinges on this table)."""
+    import re as _re
+    import sys
+    ws = {c for c in range(sys.maxunicode + 1)
+          if (0xD800 > c or c > 0xDFFF) and _re.match(r"\s", chr(c))}
+    assert ws == set(int(c) for c in core.WS_CODES)
+
+
+_texts_strategy = st.lists(
+    st.text(alphabet=st.sampled_from(
+        list("ab q1.") + ["\t", "\n", " ", "　", " ", "\U0001F600"]),
+        min_size=0, max_size=30),
+    min_size=0, max_size=8)
+
+
+@given(texts=_texts_strategy)
+@settings(max_examples=200, deadline=None)
+def test_batch_tokenize_matches_scalar(texts):
+    tb = core.batch_tokenize(texts)
+    flat_exp, starts_exp, ends_exp, doc_exp = [], [], [], []
+    for d, t in enumerate(texts):
+        for tok, s, e in core.tokenize(t):
+            flat_exp.append(tok)
+            starts_exp.append(s)
+            ends_exp.append(e)
+            doc_exp.append(d)
+    assert tb.tokens == flat_exp
+    assert tb.starts.tolist() == starts_exp
+    assert tb.ends.tolist() == ends_exp
+    assert tb.doc_of.tolist() == doc_exp
+    assert tb.counts.tolist() == [len(core.tokenize(t)) for t in texts]
+
+
+@given(texts=st.lists(
+    st.text(alphabet=list("gb \t."), min_size=0, max_size=60),
+    min_size=0, max_size=6),
+    trim=st.booleans(), split=st.sampled_from([None, 1, 2, 4, 8]),
+    pii=st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_batch_scrub_matches_scalar(texts, trim, split, pii):
+    """_batch_scrub == per-doc scrub_spans for every doc ('g'-tokens good,
+    everything else bad; pii spans via the real patterns)."""
+    if not trim and split is None and not pii:
+        split = 2
+    from filtlong_spark.functions.scoring import _batch_scrub
+    # inject an occasional real PII hit
+    if pii and texts:
+        texts = list(texts)
+        texts[0] = texts[0] + " bob@x.io g"
+    accepted_is_good = lambda tok: set(tok) <= set("g") and tok  # noqa: E731
+    tb = core.batch_tokenize(texts)
+    q = np.array([1.0 if accepted_is_good(t) else 0.0 for t in tb.tokens])
+    gated = np.zeros(len(texts), dtype=bool)
+    scrubbed, child_rows = _batch_scrub(tb, q, texts, gated, trim, split, pii)
+    for d, t in enumerate(texts):
+        toks = core.tokenize(t)
+        spans_q = [(s, e, 1.0 if accepted_is_good(tok) else 0.0)
+                   for tok, s, e in toks]
+        extra = core.pii_spans(t) if pii else None
+        res = core.scrub_spans(t, spans_q, trim, split, extra)
+        got_children = [(s, e) for dd, s, e in child_rows if dd == d]
+        assert bool(scrubbed[d]) == res.changed, (d, t)
+        if res.changed:
+            assert got_children == res.child_spans, (d, t)
+        else:
+            assert got_children == []
