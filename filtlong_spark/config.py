@@ -104,6 +104,12 @@ class FilterConfig:
     # (bounds the broadcast side at web scale; 1 = exact/no pruning)
     lm_min_count: int = 1
 
+    # bigram_lm physical strategy: 'distributed' (token-grain Catalyst
+    # joins against the count tables — no model collect, the 100 TB path)
+    # or 'broadcast' (whole pruned model as a broadcast variable — exact
+    # even for mid-token PII fragments, requires a driver-sized model)
+    lm_strategy: str = "distributed"
+
     def __post_init__(self) -> None:
         for f in ("min_length", "max_length", "target_chars", "split"):
             v = getattr(self, f)
@@ -158,4 +164,6 @@ class FilterConfig:
             raise ConfigError(f"Error: unknown output_ordering {self.output_ordering!r}")
         if self.lm_min_count < 1:
             raise ConfigError("Error: the value for lm_min_count must be a positive integer")
+        if self.lm_strategy not in ("distributed", "broadcast"):
+            raise ConfigError(f"Error: unknown lm_strategy {self.lm_strategy!r}")
         return self

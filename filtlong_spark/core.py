@@ -389,7 +389,18 @@ def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
     Returns changed=False (no children) when no bad range was found, which
     mirrors the parent being output unchanged (src/main.cpp:140-147).
     """
-    n = len(text)
+    return finalize_scrub(
+        compute_bad_ranges(spans_q, trim, split_threshold, len(text),
+                           extra_bad), len(text))
+
+
+def compute_bad_ranges(spans_q: list[tuple[int, int, float]],
+                       trim: bool, split_threshold: int | None, n: int,
+                       extra_bad: list[tuple[int, int]] | None = None
+                       ) -> list[tuple[int, int]]:
+    """The bad-range half of scrub_spans, parameterized on the doc length
+    instead of the text (the distributed LM path scrubs from token offsets
+    alone — the text never reaches that stage)."""
     bad_ranges: list[tuple[int, int]] = list(extra_bad or [])
 
     good_idx = [i for i, (_, _, q) in enumerate(spans_q) if q > 0.0]
@@ -423,7 +434,7 @@ def scrub_spans(text: str, spans_q: list[tuple[int, int, float]],
             if tr[1] > tr[0] and tr not in bad_ranges:
                 bad_ranges.append(tr)
 
-    return finalize_scrub(bad_ranges, n)
+    return bad_ranges
 
 
 def finalize_scrub(bad_ranges: list[tuple[int, int]], n: int) -> ScrubResult:

@@ -1,0 +1,268 @@
+"""Distributed bigram-LM scoring — the scale path for mode='bigram_lm'.
+
+The broadcast-payload LM path (refset.build_broadcast) ultimately holds
+the whole bigram table in one process — bounded by the REFERENCE corpus
+vocabulary, which at web scale is billions of rows. This module renders
+the same math (core.bigram_prob / bigram_quality — the per-token analog of
+the reference's Phred painting, src/read.cpp:35-39) as Catalyst joins that
+never collect a model table:
+
+  stage 1 (Python, narrow): tokenize each doc with char offsets
+      (core.batch_tokenize), emit one row per token carrying (pos, prev,
+      start, end) + per-doc langid verdict + PII spans as sentinel rows —
+      the text itself never leaves this stage.
+  joins (Catalyst): token stream LEFT JOIN pair counts (pre-enriched with
+      the prev token's unigram count) and unigram counts. Pruned count
+      tables broadcast via AQE; unpruned ones degrade gracefully to
+      shuffle joins — either way no driver collect.
+  stage 2 (Python, one shuffle on url): per-doc reassembly — mean/window
+      quality, trim/split/PII scrub, child re-scoring — from the token
+      goodness flags alone.
+
+Exactness: identical to the broadcast painter (and the pure-Python oracle)
+whenever lm_min_count == 1 and scrub cuts land on token boundaries. The
+two documented approximations:
+- lm_min_count > 1 prunes rare entries -> they paint as unseen (the
+  standard KenLM prune semantics);
+- a PII span cutting INSIDE a token leaves fragments whose strings no
+  longer exist at this stage; fragments paint by the unseen-token rule
+  and the token after a fragment paints by the unigram-backoff rule —
+  exact unless the fragment happens to be a seen corpus token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import FilterConfig
+from ..functions import scoring
+
+# stage-1 row kinds, encoded in pos: >=0 token, -1 doc sentinel (zero
+# tokens or langid-gated), -2 PII span
+TOK_SCHEMA = ("url string, n_chars long, lang_pred string, lang_ok boolean, "
+              "pos int, tok string, prev string, start int, end int")
+
+
+def lm_count_tables(ref_pages: DataFrame, min_count: int = 1
+                    ) -> tuple[DataFrame, DataFrame, int]:
+    """(c1(tok, c1), c2e(prev, tok, c2, c_prev), total) — distributed
+    bigram/unigram counting: posexplode + lag window + hash aggregates,
+    all codegen (<- src/kmers.cpp:142-166's counting, reborn). ``total``
+    is the UNPRUNED token count (probability denominators must not move
+    when pruning). The pair table is pre-joined with the prev token's
+    unigram count so the scoring stream needs only two joins."""
+    from pyspark.sql import Window
+    toks = ref_pages.select(
+        "url",
+        F.posexplode(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("url").orderBy("pos")
+    toks = toks.withColumn("prev", F.lag("tok").over(w))
+    c1_all = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    total = int(c1_all.agg(F.sum("c1")).collect()[0][0] or 0)
+    c1 = c1_all.filter(F.col("c1") >= min_count)
+    c2 = (toks.filter(F.col("prev").isNotNull())
+          .groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+          .filter(F.col("c2") >= min_count))
+    # consistency: a pair whose prev got pruned is pruned too (its c_prev
+    # would be absent); inner join enforces it
+    c1p = c1.select(F.col("tok").alias("prev"), F.col("c1").alias("c_prev"))
+    c2e = c2.join(c1p, "prev")
+    return c1, c2e, total
+
+
+def make_token_mapper(cfg: FilterConfig):
+    """Stage 1: (url, text) -> token rows with offsets + langid + PII."""
+    scoring._register_self_contained_pickling()
+    langid = cfg.langid_enabled
+    lang_expected = cfg.langid_expected
+    pii = cfg.pii_scrub
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+        from .. import core
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            nd = len(texts)
+            tb = core.batch_tokenize(texts)
+            if langid:
+                pred, _ = core.flat_predict_lang_tb(tb, nd)
+                gated = (pred != lang_expected) if lang_expected is not None \
+                    else np.zeros(nd, dtype=bool)
+            else:
+                pred = np.full(nd, None, dtype=object)
+                gated = np.zeros(nd, dtype=bool)
+            out = {k: [] for k in ("url", "n_chars", "lang_pred", "lang_ok",
+                                   "pos", "tok", "prev", "start", "end")}
+
+            def emit(d, pos, tok, prev, s, e):
+                out["url"].append(urls[d])
+                out["n_chars"].append(len(texts[d]))
+                out["lang_pred"].append(pred[d])
+                out["lang_ok"].append(not gated[d])
+                out["pos"].append(pos)
+                out["tok"].append(tok)
+                out["prev"].append(prev)
+                out["start"].append(s)
+                out["end"].append(e)
+
+            o = 0
+            for d in range(nd):
+                c = int(tb.counts[d])
+                if gated[d] or c == 0:
+                    emit(d, -1, None, None, 0, 0)
+                else:
+                    prev_tok = None
+                    for k in range(c):
+                        tok = tb.tokens[o + k]
+                        emit(d, k, tok, prev_tok,
+                             int(tb.starts[o + k]), int(tb.ends[o + k]))
+                        prev_tok = tok
+                    if pii and core.pii_possible(texts[d]):
+                        for (s, e) in core.pii_spans(texts[d]):
+                            emit(d, -2, None, None, s, e)
+                o += c
+            yield pd.DataFrame(out)
+
+    return mapper
+
+
+def paint_goodness(tok_rows: DataFrame, c1: DataFrame, c2e: DataFrame,
+                   total: int, threshold: float) -> DataFrame:
+    """Catalyst rendering of core.bigram_prob + threshold painting: two
+    LEFT joins + a CASE. All probabilities are ratios of exact integer
+    counts -> doubles identical to the Python painter bit-for-bit."""
+    j = (tok_rows
+         .join(c2e, ["prev", "tok"], "left")
+         .join(c1, "tok", "left"))
+    tot = F.lit(float(total)) if total else F.lit(1.0)
+    eps_good = bool(total) and (1.0 / (10.0 * total) >= threshold)
+    p_uni = F.col("c1") / tot
+    good = (F.when(F.col("pos") < 0, F.lit(False))
+            .when(F.col("c2").isNotNull(), (F.col("c2") / F.col("c_prev"))
+                  >= F.lit(threshold))
+            .when(F.col("c1").isNotNull(),
+                  F.when(F.col("prev").isNull(), p_uni)
+                  .otherwise(F.lit(0.4) * p_uni) >= F.lit(threshold))
+            .otherwise(F.lit(eps_good)))
+    good_first = (F.col("c1").isNotNull() & (p_uni >= F.lit(threshold))) \
+        | (F.col("c1").isNull() & F.lit(eps_good))
+    good_backoff = (F.col("c1").isNotNull()
+                    & ((F.lit(0.4) * p_uni) >= F.lit(threshold))) \
+        | (F.col("c1").isNull() & F.lit(eps_good))
+    return j.select(
+        "url", "n_chars", "lang_pred", "lang_ok", "pos", "start", "end",
+        good.alias("good"), good_first.alias("good_first"),
+        good_backoff.alias("good_backoff"))
+
+
+def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
+    """Stage 2: grouped (url, n_chars, lang flags, sorted token flag array)
+    -> READS2 rows (scored parents or re-scored children), sharing
+    core.compute_bad_ranges/finalize_scrub with every other path."""
+    scoring._register_self_contained_pickling()
+    window_size = cfg.window_size
+    trim, split = cfg.trim, cfg.split
+    scrub = trim or split is not None or cfg.pii_scrub
+
+    COLS = ["url", "parent_url", "n_chars", "n_tokens", "mean_q",
+            "window_q", "ratio", "child_start", "child_end", "is_child",
+            "lang_pred", "lang_ok"]
+
+    def child_quality(toks, s, e):
+        """Per-token 0/1 for child span [s, e): full inner tokens reuse
+        parent flags (their bigram context is unchanged); edge fragments
+        follow the unseen-token rule and the token after a fragment the
+        unigram-backoff rule (see module docstring)."""
+        q = []
+        prev_was_fragment = False
+        for t in toks:
+            ts, te = t["start"], t["end"]
+            if te <= s or ts >= e:
+                continue
+            if ts < s or te > e:            # fragment at an edge
+                q.append(1.0 if eps_good else 0.0)
+                prev_was_fragment = True
+            elif not q:                     # child position 0, full token
+                q.append(1.0 if t["good_first"] else 0.0)
+                prev_was_fragment = False
+            elif prev_was_fragment:         # full token after a fragment
+                q.append(1.0 if t["good_backoff"] else 0.0)
+                prev_was_fragment = False
+            else:                           # parent bigram intact
+                q.append(1.0 if t["good"] else 0.0)
+        return q
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+        from .. import core
+        for pdf in batches:
+            rows = []
+            for url, n_chars, toks_all in zip(pdf["url"], pdf["n_chars"],
+                                              pdf["toks"]):
+                n = int(n_chars)
+                t0 = toks_all[0] if len(toks_all) else None
+                lang_pred = t0["lang_pred"] if t0 is not None else None
+                lang_ok = bool(t0["lang_ok"]) if t0 is not None else True
+                if not lang_ok:
+                    rows.append((url, url, n, 0, 0.0, 0.0, 1.0, 0, n,
+                                 False, lang_pred, False))
+                    continue
+                pii_sp = [(int(t["start"]), int(t["end"]))
+                          for t in toks_all if t["pos"] == -2]
+                toks = [t for t in toks_all if t["pos"] >= 0]
+                q = np.array([1.0 if t["good"] else 0.0 for t in toks])
+                mq = core.mean_quality(q)
+                wq = core.window_quality(q, window_size)
+                if scrub:
+                    spans_q = [(int(t["start"]), int(t["end"]),
+                                float(q[i])) for i, t in enumerate(toks)]
+                    res = core.finalize_scrub(
+                        core.compute_bad_ranges(spans_q, trim, split, n,
+                                                pii_sp or None), n)
+                    if res.changed:
+                        for (s, e) in res.child_spans:
+                            cq = np.array(child_quality(toks, s, e))
+                            cmq = core.mean_quality(cq)
+                            cwq = core.window_quality(cq, window_size)
+                            rows.append((core.child_name(url, s, e), url,
+                                         e - s, int(cq.size), cmq, cwq,
+                                         core.window_ratio(cmq, cwq),
+                                         s, e, True, lang_pred, True))
+                        continue
+                rows.append((url, url, n, len(toks), mq, wq,
+                             core.window_ratio(mq, wq), 0, n, False,
+                             lang_pred, True))
+            yield pd.DataFrame(rows, columns=COLS)
+
+    return mapper
+
+
+def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
+                                cfg: FilterConfig,
+                                ref_pages: DataFrame) -> DataFrame:
+    """Drop-in replacement for score_op.score_and_scrub in bigram_lm mode:
+    same READS2 output columns (+ length_s, hard_passed), zero model
+    collect."""
+    if ref_pages is None:
+        raise ValueError("bigram_lm mode requires a reference corpus DataFrame")
+    c1, c2e, total = lm_count_tables(ref_pages, cfg.lm_min_count)
+    tok_rows = pages.select("url", "text").mapInPandas(
+        make_token_mapper(cfg), schema=TOK_SCHEMA)
+    painted = paint_goodness(tok_rows, c1, c2e, total, cfg.lm_threshold)
+    grouped = (painted.groupBy("url")
+               .agg(F.max("n_chars").alias("n_chars"),
+                    F.sort_array(F.collect_list(F.struct(
+                        "pos", "start", "end", "good", "good_first",
+                        "good_backoff", "lang_pred", "lang_ok")))
+                    .alias("toks")))
+    eps_good = bool(total) and (1.0 / (10.0 * total) >= cfg.lm_threshold)
+    reads2 = grouped.mapInPandas(make_reassemble_mapper(cfg, eps_good),
+                                 schema=scoring.READS2_SCHEMA)
+    reads2 = reads2.withColumn(
+        "length_s", scoring.length_score_col(F.col("n_chars")))
+    return reads2.withColumn("hard_passed", scoring.hard_pass_col(cfg))

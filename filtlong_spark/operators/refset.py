@@ -39,21 +39,19 @@ def accepted_df(ref_pages: DataFrame, required_copies: int) -> DataFrame:
             .select("token", "cnt"))
 
 
-def bigram_lm_counts(ref_pages: DataFrame):
-    """Distributed bigram/unigram counting for the LM quality mode:
-    posexplode + lag window + two hash aggregates (all codegen). Counts
-    are exact integers -> identical probabilities in every engine."""
-    from pyspark.sql import Window
-    toks = ref_pages.select(
-        "url", F.posexplode(F.expr(TOKENIZE_EXPR)).alias("pos", "tok"))
-    w = Window.partitionBy("url").orderBy("pos")
-    toks = toks.withColumn("prev", F.lag("tok").over(w))
-    c1 = {r["tok"]: r["c"] for r in
-          toks.groupBy("tok").agg(F.count("*").alias("c")).collect()}
-    c2 = {(r["prev"], r["tok"]): r["c"] for r in
-          (toks.filter(F.col("prev").isNotNull())
-           .groupBy("prev", "tok").agg(F.count("*").alias("c")).collect())}
-    return c2, c1, sum(c1.values())
+def bigram_lm_counts(ref_pages: DataFrame, min_count: int = 1):
+    """Bigram/unigram model for the LM quality mode's BROADCAST strategy:
+    counting is fully distributed (operators/lm.lm_count_tables — shared
+    with the join strategy), and only the min_count-PRUNED tables are
+    collected into the broadcast payload, so the driver never holds more
+    than the prune bound admits. For corpora whose pruned model still
+    outgrows the driver, use lm_strategy='distributed' (token-grain joins,
+    zero collect)."""
+    from . import lm as lm_op
+    c1_df, c2e_df, total = lm_op.lm_count_tables(ref_pages, min_count)
+    c1 = {r["tok"]: r["c1"] for r in c1_df.collect()}
+    c2 = {(r["prev"], r["tok"]): r["c2"] for r in c2e_df.collect()}
+    return c2, c1, total
 
 
 def build_broadcast(spark: SparkSession, cfg: FilterConfig,
@@ -67,7 +65,7 @@ def build_broadcast(spark: SparkSession, cfg: FilterConfig,
     elif cfg.mode == "bigram_lm":
         if ref_pages is None:
             raise ValueError("bigram_lm mode requires a reference corpus DataFrame")
-        c2, c1, total = bigram_lm_counts(ref_pages)
+        c2, c1, total = bigram_lm_counts(ref_pages, cfg.lm_min_count)
         payload = ("lm", c2, c1, total, cfg.lm_threshold)
     else:
         if ref_pages is None:

@@ -113,8 +113,15 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
             obs, F.sum(F.length("text")).alias("total_chars"),
             F.count(F.lit(1)).alias("n_docs"))
 
-        accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages)
-        scored = score_op.score_and_scrub(valid, cfg, accepted_bc)
+        if cfg.mode == "bigram_lm" and cfg.lm_strategy == "distributed":
+            # LM scale path: token-grain Catalyst joins against the count
+            # tables — the model is never collected anywhere
+            from ..operators import lm as lm_op
+            scored = lm_op.score_and_scrub_distributed(
+                spark, valid, cfg, ref_pages)
+        else:
+            accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages)
+            scored = score_op.score_and_scrub(valid, cfg, accepted_bc)
         reads2, _ = output_op.checkpoint(
             scored, spark, os.path.join(scratch, "reads2"), resume=False)
         total_input_chars = obs.get["total_chars"] or 0

@@ -49,3 +49,56 @@ def test_pipeline_bigram_mode_matches_oracle(spark):
     exp = sorted((d.url, d.mean_q, d.window_q, d.final_score)
                  for d in res_o.kept)
     assert got == exp and len(got) > 0
+
+
+def _lm_kept(res):
+    return sorted((r["url"], r["n_chars"], r["mean_q"], r["window_q"],
+                   r["final_score"]) for r in res.kept.collect())
+
+
+@pytest.mark.parametrize("strategy", ["distributed", "broadcast"])
+def test_pipeline_bigram_scrub_matches_oracle(spark, strategy):
+    """Full LM pipeline (trim+split+pii+langid) == pure-Python oracle, for
+    BOTH physical strategies (joins vs broadcast payload)."""
+    rows = fx.volume(sf=0.0002)
+    ref = fx.ref_corpus(noisy=True)
+    cfg = dict(min_length=50, mode="bigram_lm", keep_percent=80.0,
+               trim=True, split=40, pii_scrub=True,
+               langid_enabled=True, langid_expected="en")
+    res_o = oracle.run_pipeline(rows, FilterConfig(**cfg), ref_rows=ref)
+    res_s = run_filter(spark, fx.to_spark_df(spark, rows),
+                       FilterConfig(**cfg, lm_strategy=strategy),
+                       ref_pages=fx.to_spark_df(spark, ref))
+    got = _lm_kept(res_s)
+    exp = sorted((d.url, d.n_chars, d.mean_q, d.window_q, d.final_score)
+                 for d in res_o.kept)
+    assert got == exp and len(got) > 0
+
+
+def test_lm_distributed_no_model_collect(spark):
+    """The join strategy's plan must contain the token joins (the whole
+    point: no model table is ever collected to the driver)."""
+    from filtlong_spark.operators import lm as lm_op
+    ref = fx.to_spark_df(spark, fx.ref_corpus(noisy=True))
+    pages = fx.to_spark_df(spark, fx.sort_suite())
+    cfg = FilterConfig(min_length=1, mode="bigram_lm")
+    reads2 = lm_op.score_and_scrub_distributed(spark, pages, cfg, ref)
+    plan = reads2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    out = reads2.collect()
+    assert len(out) == 3 and all(r["n_tokens"] == 1000 for r in out)
+
+
+def test_lm_min_count_prunes(spark):
+    """lm_min_count > 1: rare bigrams paint as unseen (KenLM-style prune),
+    identical across both strategies."""
+    rows = fx.sort_suite()
+    ref = fx.ref_corpus(noisy=True)
+    outs = []
+    for strategy in ("distributed", "broadcast"):
+        cfg = FilterConfig(min_length=1, mode="bigram_lm", keep_percent=90.0,
+                           lm_min_count=3, lm_strategy=strategy)
+        res = run_filter(spark, fx.to_spark_df(spark, rows), cfg,
+                         ref_pages=fx.to_spark_df(spark, ref))
+        outs.append(_lm_kept(res))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
