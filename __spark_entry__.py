@@ -333,8 +333,10 @@ def q_lm_quality(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     """Sign-LSH bucketed ANN candidates (the scale path: equi-join on
-    bucket, no broadcast of the corpus). Rows-only check: the hyperplane
-    construction is not reasonably SQL-expressible."""
+    bucket, no broadcast of the corpus). Buckets come from md5-derived
+    INTEGER hyperplanes over floor(x*1000+0.5)-quantized embeddings, so
+    the plane signs are exact int64 in both engines and the DuckDB oracle
+    reproduces them bit-for-bit."""
     return (sim_op.ann_lsh_candidates(_emb(spark, sf_dir), probe_max_id=20)
             .orderBy("probe_id", "vec_id"))
 
@@ -401,7 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "ann_cosine": q_ann_cosine,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,           # rows-only (no SQL oracle)
+        "ann_lsh": q_ann_lsh,
         "pipeline_labels": q_pipeline_labels,  # rows-only (pytest-verified)
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
@@ -786,6 +788,49 @@ FROM p GROUP BY doc_id ORDER BY doc_id"""
     sql["ann_cosine"] = (_COS_PAIR_SQL.format(probe_max=20)
                          + "SELECT probe_id, vec_id, cos FROM pairs "
                            "WHERE cos >= 0.2 ORDER BY probe_id, vec_id")
+
+    sql["ann_lsh"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> floor(x * 1000.0 + 0.5)::BIGINT) AS qv
+  FROM e
+),
+sums AS (
+  SELECT vec_id, p,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(1, len(qv)),
+             i -> qv[i] * ((('0x' || substr(md5(p::VARCHAR || ':'
+                             || (i-1)::VARCHAR), 1, 8))::BIGINT
+                            % {sim_op.PLANE_MOD}) - 1000))),
+           (a, b) -> a + b) AS s
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {sim_op.N_PLANES - 1})) AS p)
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0
+                  THEN (1::BIGINT << ({sim_op.N_PLANES - 1} - p))
+                  ELSE 0 END)::BIGINT AS bucket
+  FROM sums GROUP BY vec_id
+),
+be AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN e USING (vec_id)),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id, p.bucket,
+         round(
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(p.v)),
+                            i -> p.v[i] * c.v[i])), (a,b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                list_transform(p.v, x -> x*x)), (a,b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0,
+                list_transform(c.v, x -> x*x)), (a,b) -> a + b))), 6) AS cos
+  FROM be p JOIN be c ON p.bucket = c.bucket AND p.vec_id < c.vec_id
+  WHERE p.vec_id <= 20
+)
+SELECT probe_id, vec_id, bucket, cos FROM pairs ORDER BY probe_id, vec_id"""
 
     sql["ann_topk"] = (_COS_PAIR_SQL.format(probe_max=10) + """
 , ranked AS (

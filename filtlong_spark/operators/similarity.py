@@ -91,45 +91,90 @@ def cosine_topk(emb: DataFrame, probe_max_id: int, k: int) -> DataFrame:
             .select("probe_id", "vec_id", "cos", "rank"))
 
 
-N_PLANES = 8
+N_PLANES = 8      # 2^8 = 256 sign buckets
+PLANE_MOD = 2001  # integer weights in [-1000, 1000]
+QUANT = 1000.0    # embedding quantization step for exact integer signs
 
 
-def lsh_bucket(emb_col) -> "F.Column":
-    """Sign-LSH bucket id from N_PLANES deterministic pseudo-random
-    hyperplanes: plane p's weight for dim i = (h(p,i) mod 2001 - 1000),
-    h = first 8 md5 hex chars of 'p:i'. Integer weights -> the sign
-    computation is exact and engine-independent."""
-    def plane_sign(p):
-        prods = F.zip_with(
-            emb_col,
-            F.sequence(F.lit(0), F.size(emb_col) - 1),
-            lambda x, i: x.cast("double")
-            * ((F.conv(F.substring(
-                F.md5(F.concat_ws(":", F.lit(str(p)), i.cast("string"))
-                      .cast("binary")), 1, 8), 16, 10).cast("long")
-                % 2001) - 1000).cast("double"))
-        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(s > 0, F.lit(1)).otherwise(F.lit(0))
+def plane_matrix(dim: int, n_planes: int = N_PLANES):
+    """Deterministic integer hyperplanes: plane p's weight for dim i =
+    (first 8 md5 hex chars of 'p:i') mod 2001 - 1000. Integer weights x
+    integer-quantized embeddings -> the sign computation is EXACT and
+    engine-independent (mirrored verbatim in the DuckDB oracle SQL)."""
+    import hashlib
 
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        bucket = bucket * 2 + plane_sign(p)
-    return bucket
+    import numpy as np
+    w = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+            w[p, i] = h % PLANE_MOD - (PLANE_MOD - 1) // 2
+    return w
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket, en): sign-LSH bucket + L2-normalized embedding,
+    computed in ONE numpy mapInPandas pass (a BLAS int matmul per Arrow
+    batch) — no Catalyst HOFs, no per-element interpretation. Embeddings
+    are quantized floor(x*1000 + 0.5) so the plane dot products are exact
+    int64 in every engine."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    w = plane_matrix(dim, n_planes)
+    bits = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    def mapper(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qE = np.floor(E * QUANT + 0.5).astype(np.int64)
+            bucket = ((qE @ w.T) > 0).astype(np.int64) @ bits
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "bucket": bucket,
+                                "en": list(En)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        mapper, schema="vec_id long, bucket long, en array<double>")
 
 
 def ann_lsh_candidates(emb: DataFrame, probe_max_id: int) -> DataFrame:
     """Bucketed ANN: probes join the corpus only within the same sign
-    bucket (equi-join on bucket id -> shuffle-partitioned, no broadcast of
-    the corpus, no cross product). Returns candidate pairs with rounded
-    cosine, for re-ranking."""
-    with_b = emb.withColumn("bucket", lsh_bucket(F.col("embedding")))
-    probes = (with_b.filter(F.col("vec_id") <= probe_max_id)
-              .select(F.col("vec_id").alias("probe_id"),
-                      F.col("bucket"),
-                      _as_double("embedding").alias("p")))
-    corpus = with_b.select("vec_id", "bucket", _as_double("embedding").alias("e"))
-    joined = corpus.join(probes, ["bucket"]).filter(
-        F.col("probe_id") < F.col("vec_id"))
-    cos = dot(F.col("p"), F.col("e")) / (norm(F.col("p")) * norm(F.col("e")))
-    return (joined.withColumn("cos", F.round(cos, 6))
-            .select("probe_id", "vec_id", "bucket", "cos"))
+    bucket — a shuffle equi-join on bucket id (no broadcast of the corpus,
+    no cross product; the 100 TB shape when the probe set is too large to
+    broadcast). Cosines for the surviving candidates come from a second
+    vectorized numpy pass, rounded to 6dp for cross-engine determinism."""
+    import numpy as np
+    import pandas as pd
+
+    wb = lsh_buckets(emb)
+    probes = (wb.filter(F.col("vec_id") <= probe_max_id)
+              .select(F.col("vec_id").alias("probe_id"), "bucket",
+                      F.col("en").alias("pn")))
+    joined = (wb.join(probes, "bucket")
+              .filter(F.col("probe_id") < F.col("vec_id")))
+
+    def cos_mapper(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.array(list(pdf["pn"]), dtype=np.float64)
+            E = np.array(list(pdf["en"]), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", P, E)
+            yield pd.DataFrame({"probe_id": pdf["probe_id"].to_numpy(),
+                                "vec_id": pdf["vec_id"].to_numpy(),
+                                "bucket": pdf["bucket"].to_numpy(),
+                                "cos": cos})
+
+    pairs = joined.select("probe_id", "vec_id", "bucket", "pn", "en") \
+        .mapInPandas(cos_mapper,
+                     schema="probe_id long, vec_id long, bucket long, "
+                            "cos double")
+    # round JVM-side like cosine_pairs (Spark/DuckDB share HALF_UP)
+    return pairs.withColumn("cos", F.round("cos", 6))

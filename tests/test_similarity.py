@@ -1,0 +1,50 @@
+"""ANN operators: brute-force cosine vs sign-LSH bucketed candidates."""
+
+import numpy as np
+
+from filtlong_spark.operators import similarity as sim
+
+
+def _emb_df(spark, n=200, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim))
+    if n >= 150:
+        # plant near-duplicate pairs (i, i+100): tiny perturbation
+        base[100:150] = base[0:50] + rng.normal(scale=0.01, size=(50, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_candidates_subset_and_pruned(spark):
+    emb = _emb_df(spark)
+    brute = {(r["probe_id"], r["vec_id"])
+             for r in sim.cosine_pairs(emb, probe_max_id=199,
+                                       threshold=-1.0).collect()}
+    cand = sim.ann_lsh_candidates(emb, probe_max_id=199).collect()
+    cand_pairs = {(r["probe_id"], r["vec_id"]) for r in cand}
+    assert cand_pairs <= brute          # candidates are real pairs
+    assert 0 < len(cand_pairs) < len(brute) / 4   # bucketing prunes hard
+
+
+def test_lsh_recall_on_near_duplicates(spark):
+    """Planted near-dups (cos ~ 1) must land in the same sign bucket:
+    recall over the near-dup pairs should be ~100% (sign-LSH collides
+    vectors with tiny angular distance with prob ~ (1 - theta/pi)^8)."""
+    emb = _emb_df(spark)
+    cand = sim.ann_lsh_candidates(emb, probe_max_id=99).collect()
+    got = {(r["probe_id"], r["vec_id"]) for r in cand}
+    planted = {(i, i + 100) for i in range(50)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9
+    # and the candidates that are near-dups carry the right cosine
+    by_pair = {(r["probe_id"], r["vec_id"]): r["cos"] for r in cand}
+    for p in (got & planted):
+        assert by_pair[p] > 0.99
+
+
+def test_lsh_buckets_deterministic(spark):
+    emb = _emb_df(spark, n=50)
+    a = {(r["vec_id"], r["bucket"]) for r in sim.lsh_buckets(emb).collect()}
+    b = {(r["vec_id"], r["bucket"]) for r in sim.lsh_buckets(emb).collect()}
+    assert a == b
+    assert all(0 <= bk < 2 ** sim.N_PLANES for _, bk in a)
