@@ -681,28 +681,29 @@ SELECT md5(replace(text, ' dup', '')) AS text_hash,
        count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM {DOCS} GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash"""
 
-    sql["dedup_minhash"] = f"""
+    mh_a, mh_b = dedup_op._mh_params(dedup_op.N_HASHES)
+    mh_values = ", ".join(f"({h}, {mh_a[h]}, {mh_b[h]})"
+                          for h in range(dedup_op.N_HASHES))
+    _MH_CTES = f"""
 WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
 sh AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLE3}) AS shingle FROM d
 ),
+params AS (SELECT * FROM (VALUES {mh_values}) t(h, a, b)),
 perms AS (
-  SELECT doc_id, h, md5(h::VARCHAR || ':' || shingle) AS hval
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.N_HASHES - 1})) AS h)
-)
-SELECT doc_id, h, min(hval) AS minhash
-FROM perms GROUP BY doc_id, h ORDER BY doc_id, h"""
+  SELECT doc_id, h,
+         ((a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                % {dedup_op.MH_PRIME}) + b) % {dedup_op.MH_PRIME}) AS hval
+  FROM sh CROSS JOIN params
+),
+sig AS (SELECT doc_id, h, min(hval) AS minhash FROM perms GROUP BY doc_id, h)"""
+
+    sql["dedup_minhash"] = f"""
+{_MH_CTES}
+SELECT doc_id, h, minhash FROM sig ORDER BY doc_id, h"""
 
     sql["dedup_lsh_pairs"] = f"""
-WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
-sh AS (
-  SELECT DISTINCT doc_id, unnest({_SHINGLE3}) AS shingle FROM d
-),
-perms AS (
-  SELECT doc_id, h, md5(h::VARCHAR || ':' || shingle) AS hval
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.N_HASHES - 1})) AS h)
-),
-sig AS (SELECT doc_id, h, min(hval) AS minhash FROM perms GROUP BY doc_id, h),
+{_MH_CTES},
 bands AS (
   SELECT doc_id, h // {dedup_op.BAND_ROWS} AS band,
          string_agg(h::VARCHAR || ':' || minhash, '|' ORDER BY
@@ -716,9 +717,14 @@ ORDER BY doc_a, doc_b"""
 
     sql["dedup_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLE5}) AS shingle FROM d
 ),
+dfreq AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {dedup_op.MAX_SHINGLE_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN dfreq USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

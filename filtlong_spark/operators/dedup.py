@@ -51,43 +51,36 @@ def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
         mapper, schema="doc_id long, shingle string")
 
 
+# Affine minhash permutations over the md5-derived 60-bit shingle hash:
+# mh_h(s) = (A_h * (h60(s) mod P) + B_h) mod P, P = 2^31 - 1. One md5 per
+# shingle (not one per seed!) and every product fits exactly in int64 /
+# BIGINT, so both engines compute identical values. Constants are fixed
+# literals mirrored into the SQL oracle.
+MH_PRIME = (1 << 31) - 1
+
+
+def _mh_params(n_hashes: int) -> tuple[list[int], list[int]]:
+    a = [(2 * h + 1) * 2654435761 % MH_PRIME for h in range(n_hashes)]
+    b = [(h * 40503 + 17) % MH_PRIME for h in range(n_hashes)]
+    return a, b
+
+
 def minhash_wide(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, mh0..mh7): the full minhash signature computed MAP-ONLY in
-    one Arrow pass — shingle, hash with hashlib md5 (C speed), take the
-    lexicographic min per seed in Python. No shuffle anywhere: at corpus
-    scale signatures are embarrassingly parallel over input partitions;
-    the only shuffle dedup ever needs is the LSH bucket join."""
-    import pandas as pd
-
-    from ..functions.scoring import _register_self_contained_pickling
-    _register_self_contained_pickling()
-    n = shingle_n
-
-    def mapper(batches):
-        import hashlib
-
-        from .. import core
-        for pdf in batches:
-            out = {"doc_id": []}
-            for h in range(N_HASHES):
-                out[f"mh{h}"] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [m.group(0) for m in core.TOKEN_RE.finditer(text or "")]
-                seen = {" ".join(toks[i:i + n])
-                        for i in range(len(toks) - n + 1)}
-                if not seen:
-                    continue
-                out["doc_id"].append(doc_id)
-                for h in range(N_HASHES):
-                    pre = f"{h}:".encode()
-                    out[f"mh{h}"].append(min(
-                        hashlib.md5(pre + s.encode()).hexdigest()
-                        for s in seen))
-            yield pd.DataFrame(out)
-
-    schema = ("doc_id long, "
-              + ", ".join(f"mh{h} string" for h in range(N_HASHES)))
-    return docs.select("doc_id", "text").mapInPandas(mapper, schema=schema)
+    """(doc_id, mh0..mh7): shingling stays the Arrow-batched Python mapper
+    (string n-gram assembly), but ALL hashing is JVM-side codegen: one
+    Catalyst md5 per shingle -> 60-bit int -> 8 affine permutations ->
+    groupBy(doc_id).min. Partial aggregation collapses each partition to
+    one row per doc before the shuffle, so the exchange carries ~32 bytes
+    per doc — at corpus scale the plan is one Python shingling pass + a
+    near-free min-combine."""
+    sh = _doc_shingles(docs, shingle_n)
+    a, b = _mh_params(N_HASHES)
+    h60 = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15),
+                 16, 10).cast("long")
+    hm = h60 % F.lit(MH_PRIME)
+    aggs = [F.min((F.lit(a[h]) * hm + F.lit(b[h])) % F.lit(MH_PRIME))
+            .alias(f"mh{h}") for h in range(N_HASHES)]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def exact_dupes(docs: DataFrame, key_expr: str = NORM_EXPR) -> DataFrame:
@@ -146,13 +139,28 @@ def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     return pairs
 
 
+MAX_SHINGLE_DF = 1000  # hot-shingle guard (mirrored in the SQL oracle)
+
+
 def jaccard_pairs(docs: DataFrame, shingle_n: int = 5,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_doc_freq: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """Exact n-gram Jaccard over shared-shingle candidates:
     (doc_a, doc_b, inter, union, jaccard >= threshold). Candidate
     generation via shingle equi-join (docs with no shared shingle never
-    pair). Jaccard kept as an exact ratio of integers."""
+    pair). Jaccard kept as an exact ratio of integers.
+
+    Hot-shingle guard (the 100 TB survival rule): a boilerplate shingle
+    appearing in 10^6 docs would turn the self-join into a 10^12-pair key.
+    Shingles with document frequency > max_doc_freq are dropped from the
+    UNIVERSE (both intersections and sizes), so Jaccard is computed over
+    the informative shingles only — the standard stop-shingle semantics,
+    mirrored exactly in the DuckDB oracle."""
     sh = _doc_shingles(docs, shingle_n)
+    if max_doc_freq is not None:
+        dfreq = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                 .filter(F.col("df") <= max_doc_freq))
+        sh = sh.join(dfreq.select("shingle"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

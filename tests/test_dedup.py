@@ -1,0 +1,37 @@
+"""Dedup operators: hot-shingle guard + basic pair detection."""
+
+import time
+
+
+from filtlong_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_finds_near_dups_with_cap_on(spark):
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(1, base), (2, base + " extra"), (3, "totally different words "
+                                                 "compose this one here")]
+    out = dedup.jaccard_pairs(_docs(spark, rows), shingle_n=3,
+                              threshold=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_jaccard_hot_shingle_capped(spark):
+    """One boilerplate shingle shared by every doc: without the DF cap the
+    self-join is quadratic; with it the hot shingle leaves the universe."""
+    common = "alpha beta gamma delta epsilon"
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e " + common)
+            for i in range(300)]
+    docs = _docs(spark, rows)
+    uncapped = dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.05,
+                                   max_doc_freq=None).count()
+    assert uncapped == 300 * 299 / 2   # every pair shares the hot shingle
+    t0 = time.time()
+    capped = dedup.jaccard_pairs(docs, shingle_n=5, threshold=0.05,
+                                 max_doc_freq=100).count()
+    assert capped == 0
+    assert time.time() - t0 < 60
