@@ -42,6 +42,7 @@ MIN_LENGTH = 100
 MAX_LENGTH = 10_000
 MIN_MEAN_Q = 90.0
 BUDGET_TARGET = 400_000                        # chars, for the budget query
+SPLIT_THR = 30  # pipeline_labels scrub threshold (mirrored in its SQL)
 TOKENS_SQL = r"regexp_extract_all(text, '\S+')"
 DOCS = "documents"
 
@@ -342,19 +343,45 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_pipeline_labels(spark, sf_dir):
-    """The FULL pipeline (langid + scoring + scrub + normalize + budget)
-    over the documents table mapped to the input_hint page shape; returns
-    per-survivor labels. Rows-only check (the fused pipeline is the
-    subject of the pytest oracle-equivalence suite instead)."""
+    """The FULL pipeline (scoring + split scrub + child re-scoring +
+    normalization + keep_percent budget) over the documents table mapped
+    to the input_hint page shape; returns per-survivor labels. Checked
+    end-to-end against a DuckDB oracle reproducing every stage (the
+    PII/langid variants of the pipeline are pytest-oracle-verified —
+    regex match SPANS are not SQL-expressible)."""
     from filtlong_spark.plans.pipeline import run_filter
     pages = tables.documents_as_pages(spark, sf_dir)
     cfg = FilterConfig(min_length=MIN_LENGTH, keep_percent=90.0,
-                       window_size=WINDOW, split=3, pii_scrub=True,
+                       window_size=WINDOW, split=SPLIT_THR,
                        mode="intrinsic", vocab=frozenset(VOCAB),
                        budget_algorithm="approx")
     res = run_filter(spark, pages, cfg)
     return res.kept.select("url", "n_chars", "mean_q", "window_q",
                            "final_score").orderBy("url")
+
+
+PII_NAMED = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"(?:\+?\d{1,2}[ -])?(?:\(\d{3}\)|\d{3})[ -]\d{3}[ -]\d{4}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("toxic", r"\b(?:frobnak|grubbix|zlorty)\b"),
+]
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII/toxicity detection stats per doc (north_rule scrub slot), fully
+    Catalyst: regexp_extract_all per pattern -> match count + matched
+    chars. (Span-level scrub semantics are pytest-verified; match counts
+    are the SQL-expressible projection.)"""
+    d = _docs(spark, sf_dir)
+    cols = [F.col("doc_id")]
+    for name, pat in PII_NAMED:
+        arr = F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+        cols.append(F.size(arr).alias(f"n_{name}"))
+        cols.append(F.aggregate(F.transform(arr, F.length),
+                                F.lit(0), lambda a, x: a + x)
+                    .alias(f"chars_{name}"))
+    return d.select(*cols).orderBy("doc_id")
 
 
 def q_dup_check(spark, sf_dir):
@@ -404,7 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "pipeline_labels": q_pipeline_labels,  # rows-only (pytest-verified)
+        "pipeline_labels": q_pipeline_labels,
+        "pii_stats": q_pii_stats,
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
     }
@@ -847,6 +875,133 @@ SELECT probe_id, vec_id, bucket, cos FROM pairs ORDER BY probe_id, vec_id"""
 )
 SELECT probe_id, vec_id, cos, rank FROM ranked
 WHERE rank <= 5 ORDER BY probe_id, rank""")
+
+    # end-to-end pipeline oracle: scoring -> split scrub -> child
+    # re-scoring -> z-normalize over the post-scrub set -> keep_percent
+    # budget (greedy cum-before rule with (final desc, url asc) tiebreak)
+    sql["pipeline_labels"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || doc_id::VARCHAR
+           AS url,
+         text, length(text) AS n
+  FROM {DOCS}
+),
+total AS (SELECT sum(n) AS total_chars FROM base),
+toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok,
+         generate_subscripts({TOKENS_SQL}, 1) AS pos
+  FROM base
+),
+pos AS (
+  SELECT doc_id, tok, pos,
+         coalesce(sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (pos - 1) AS start_c,
+         sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY pos)
+           + (pos - 1) AS end_c,
+         tok NOT IN ({VOCAB_SQL}) AS bad
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, pos, start_c, end_c, bad,
+         pos - row_number() OVER (PARTITION BY doc_id, bad ORDER BY pos)
+           AS grp
+  FROM pos
+),
+bad_runs AS (
+  SELECT doc_id, min(start_c) AS bs, max(end_c) AS be
+  FROM runs WHERE bad GROUP BY doc_id, grp
+  HAVING max(end_c) - min(start_c) >= {SPLIT_THR}
+),
+edges AS (
+  SELECT b.doc_id, d.n, b.bs, b.be,
+         coalesce(lag(b.be) OVER (PARTITION BY b.doc_id ORDER BY b.bs), 0)
+           AS prev_end
+  FROM bad_runs b JOIN base d USING (doc_id)
+),
+child_spans AS (
+  SELECT doc_id, prev_end AS s, bs AS e FROM edges
+  UNION ALL
+  SELECT doc_id, max(be) AS s, max(n) AS e FROM edges GROUP BY doc_id
+),
+children AS (SELECT doc_id, s, e FROM child_spans WHERE e > s),
+recs AS (
+  SELECT b.doc_id,
+         b.url || '_' || (c.s + 1)::VARCHAR || '-' || c.e::VARCHAR AS url,
+         c.s AS cs, c.e AS ce, (c.e - c.s)::BIGINT AS n_chars
+  FROM children c JOIN base b USING (doc_id)
+  UNION ALL
+  SELECT doc_id, url, 0, n, n::BIGINT FROM base
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM children)
+),
+rtoks AS (
+  SELECT r.url, r.n_chars,
+         row_number() OVER (PARTITION BY r.url ORDER BY p.pos) AS rpos,
+         CASE WHEN p.tok IN ({VOCAB_SQL}) THEN 1 ELSE 0 END AS ok
+  FROM recs r JOIN pos p ON p.doc_id = r.doc_id
+       AND p.start_c >= r.cs AND p.end_c <= r.ce
+),
+wsums AS (
+  SELECT url, n_chars, rpos,
+         count(*) OVER (PARTITION BY url) AS nt,
+         sum(ok) OVER (PARTITION BY url) AS total_ok,
+         sum(ok) OVER (PARTITION BY url ORDER BY rpos
+                       ROWS BETWEEN CURRENT ROW AND {WINDOW - 1} FOLLOWING)
+           AS wsum
+  FROM rtoks
+),
+winq AS (
+  SELECT url, max(n_chars) AS n_chars,
+         100.0 * max(total_ok) / max(nt) AS mean_q,
+         CASE WHEN max(nt) <= {WINDOW}
+              THEN 100.0 * max(total_ok) / max(nt)
+              ELSE CASE WHEN (min(wsum) FILTER (WHERE rpos <= nt - {WINDOW} + 1)
+                              / {WINDOW}.0) < 0.5 / {WINDOW}.0
+                        THEN 0.0
+                        ELSE 100.0 * (min(wsum)
+                               FILTER (WHERE rpos <= nt - {WINDOW} + 1)
+                               / {WINDOW}.0)
+                   END
+         END AS window_q
+  FROM wsums GROUP BY url
+),
+normed AS (
+  SELECT url, n_chars, mean_q, window_q,
+         {_RATIO} AS ratio,
+         CASE WHEN max(mean_q) OVER () <= min(mean_q) OVER () THEN 50.0
+              ELSE 100.0 * (mean_q - min(mean_q) OVER ())
+                   / (max(mean_q) OVER () - min(mean_q) OVER ())
+         END AS mean_q_score,
+         100.0 * n_chars / (n_chars + 5000.0) AS length_s
+  FROM winq
+),
+finals AS (
+  SELECT *, sqrt(length_s * mean_q_score)
+              * ((1.0 - 1.0/3.0) + ratio * (1.0/3.0)) AS final_score
+  FROM normed
+),
+cum AS (
+  SELECT f.*, n_chars >= {MIN_LENGTH} AS eligible,
+         coalesce(sum(CASE WHEN n_chars >= {MIN_LENGTH} THEN n_chars END)
+           OVER (ORDER BY final_score DESC, url ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM finals f
+)
+SELECT url, n_chars, mean_q, window_q, final_score
+FROM cum, total
+WHERE eligible AND cum_before < floor(0.9 * total_chars)
+ORDER BY url"""
+
+    pii_cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}, "
+        f"coalesce(list_reduce(list_prepend(0::INT, list_transform("
+        f"regexp_extract_all(text, '{pat}'), m -> len(m)::INT)), "
+        f"(a, b) -> a + b), 0) AS chars_{name}"
+        for name, pat in PII_NAMED)
+    sql["pii_stats"] = f"""
+SELECT doc_id, {pii_cols} FROM {DOCS} ORDER BY doc_id"""
 
     sql["dup_check"] = f"""
 SELECT doc_id, count(*) AS n FROM {DOCS}
