@@ -9,6 +9,7 @@ against the reference's own test fixtures (tests/test_fastx_parity.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -147,11 +148,49 @@ def run_filtlong(spark: SparkSession, reads: DataFrame, cfg: FilterConfig,
 
 
 def to_fastx_lines(result: FastxResult) -> list[str]:
-    """Driver-side formatter (the reference writes to stdout; at scale use
-    kept.write instead). Output format follows input format
-    (src/main.cpp:132-134,272,278)."""
+    """Driver-side formatter for FIXTURE-scale parity tests (the
+    reference's stdout contract); real read sets go through write_fastx
+    below — this one collects every survivor to the driver."""
     from ..sources.fastx import format_record
     as_fasta = result.any_fasta
     return [format_record(r["name"], r["comment"], r["seq"],
                           r["qual"], as_fasta)
             for r in result.kept.collect()]
+
+
+def _format_col(as_fasta: bool) -> "F.Column":
+    """format_record as a Catalyst expression (whole-stage codegen): the
+    text writer appends the row's trailing newline."""
+    header = F.concat(
+        F.col("name"),
+        F.when(F.length(F.coalesce(F.col("comment"), F.lit(""))) > 0,
+               F.concat(F.lit(" "), F.col("comment"))).otherwise(F.lit("")))
+    if as_fasta:
+        return F.concat(F.lit(">"), header, F.lit("\n"), F.col("seq"))
+    return F.concat(F.lit("@"), header, F.lit("\n"), F.col("seq"),
+                    F.lit("\n+\n"), F.col("qual"))
+
+
+def write_fastx(result: FastxResult, out_dir: str,
+                n_partitions: int | None = None) -> None:
+    """Distributed A7 sink (the scale rendering of src/main.cpp:263-311):
+    survivors are range-partitioned on (file, rec_idx), sorted within each
+    output task by (file, rec_idx, child_start), formatted JVM-side, and
+    written as text. Range partitioning makes part files globally ordered
+    — part-00000's keys all precede part-00001's — so concatenating the
+    parts in filename order reproduces the single-writer stdout
+    byte-for-byte (asserted in tests). No survivor ever touches the
+    driver."""
+    kept = result.kept
+    n = n_partitions or kept.sparkSession.sparkContext.defaultParallelism
+    (kept.repartitionByRange(n, "file", "rec_idx")
+     .sortWithinPartitions("file", "rec_idx", "child_start")
+     .select(_format_col(result.any_fasta).alias("value"))
+     .write.mode("overwrite").text(out_dir))
+
+
+def read_fastx_output(out_dir: str) -> str:
+    """Concatenate a write_fastx output dir in part-filename order."""
+    import glob
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    return "".join(open(p, encoding="ascii").read() for p in parts)

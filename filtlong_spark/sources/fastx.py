@@ -105,9 +105,14 @@ def read_fastx(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
     if isinstance(paths, str):
         paths = [paths]
-    files = sorted(f for p in paths for f in glob.glob(p))
-    if not files:
-        raise FileNotFoundError(f"no FASTX files match {paths}")
+    files = []
+    for p in paths:
+        matched = sorted(glob.glob(p))
+        if not matched:
+            # D2 file-existence validation, exact reference message
+            # (src/arguments.cpp:310-322; test/test_error_messages.py:68-88)
+            raise FileNotFoundError(f"Error: cannot find file: {p}")
+        files.extend(matched)
 
     files_df = spark.createDataFrame([(f,) for f in files], "path string") \
         .repartition(len(files))

@@ -170,3 +170,36 @@ class TestErrorParity:
                 r"Error: assembly or read reference is required to use "
                 r"--split")):
             fp.run_filtlong(spark, sort_reads, FilterConfig(split=250))
+
+
+class TestDistributedSink:
+    def test_write_fastx_matches_driver_formatter(self, spark, assembly,
+                                                  tmp_path):
+        """Multi-partition distributed write == the driver-side stdout
+        formatter byte-for-byte (parts concatenated in filename order),
+        incl. children ordered by (file, rec_idx, child_start)."""
+        reads = fastx.read_fastx(spark, f"{REF}/test_split.fastq")
+        cfg = FilterConfig(split=25, mode="refset")
+        res = fp.run_filtlong(spark, reads, cfg, assembly=assembly)
+        expected = "".join(fp.to_fastx_lines(res))
+        out = str(tmp_path / "fastx_out")
+        fp.write_fastx(res, out, n_partitions=4)
+        import glob as _glob
+        assert len(_glob.glob(out + "/part-*")) >= 1
+        assert fp.read_fastx_output(out) == expected
+
+    def test_write_fastx_fasta_format(self, spark, sort_fasta, assembly,
+                                      tmp_path):
+        cfg = FilterConfig(min_length=1, mode="refset")
+        res = fp.run_filtlong(spark, sort_fasta, cfg, assembly=assembly)
+        out = str(tmp_path / "fasta_out")
+        fp.write_fastx(res, out, n_partitions=3)
+        text = fp.read_fastx_output(out)
+        assert text == "".join(fp.to_fastx_lines(res))
+        assert text.startswith(">")
+
+    def test_missing_file(self, spark):
+        # src/arguments.cpp:310-322 / test/test_error_messages.py:68-88
+        with pytest.raises(FileNotFoundError,
+                           match=r"Error: cannot find file: BAD_FILENAME"):
+            fastx.read_fastx(spark, "BAD_FILENAME")
