@@ -55,35 +55,48 @@ SCORE_FIELDS = T.StructType([
 ])
 
 
-def _score_batch(texts: pd.Series, accepted: set[str], cfg_dict: dict) -> pd.DataFrame:
+def _score_batch(texts: pd.Series, accepted, cfg_dict: dict) -> pd.DataFrame:
+    """Struct-per-doc scoring on the same flat batch kernels as the fused
+    mapper (core.batch_tokenize / flat_* / _batch_scrub)."""
+    import numpy as np
     window_size = cfg_dict["window_size"]
     trim = cfg_dict["trim"]
     split = cfg_dict["split"]
     want_spans = trim or split is not None
-    out = {k: [] for k in ("n_chars", "n_tokens", "mean_q", "window_q",
-                           "ratio", "child_spans", "scrubbed")}
-    qfn = core.quality_for(accepted)
-    for text in texts:
-        text = text or ""
-        toks = core.tokenize(text)
-        q = qfn([t for t, _, _ in toks])
-        mq = core.mean_quality(q)
-        wq = core.window_quality(q, window_size)
-        out["n_chars"].append(len(text))
-        out["n_tokens"].append(len(toks))
-        out["mean_q"].append(mq)
-        out["window_q"].append(wq)
-        out["ratio"].append(core.window_ratio(mq, wq))
-        if want_spans:
-            spans_q = [(s, e, float(q[i])) for i, (_, s, e) in enumerate(toks)]
-            res = core.scrub_spans(text, spans_q, trim, split)
-            out["child_spans"].append(
-                [{"start": s, "end": e} for s, e in res.child_spans])
-            out["scrubbed"].append(res.changed)
-        else:
-            out["child_spans"].append(None)
-            out["scrubbed"].append(False)
-    return pd.DataFrame(out)
+    texts = [t if isinstance(t, str) else "" for t in texts]
+    nd = len(texts)
+    tb = core.batch_tokenize(texts)
+    if isinstance(accepted, tuple) and accepted and accepted[0] == "lm":
+        qfn = core.quality_for(accepted)
+        parts, o = [], 0
+        for c in tb.counts:
+            parts.append(qfn(tb.tokens[o:o + int(c)]))
+            o += int(c)
+        q = np.concatenate(parts) if parts else np.zeros(0)
+    else:
+        q = core.flat_token_quality(tb.tokens, accepted)
+    mean, win = core.flat_mean_window(q, tb.counts, window_size)
+    ratio = core.flat_window_ratio(mean, win)
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nd)
+
+    if want_spans:
+        scrubbed, child_rows = _batch_scrub(
+            tb, q, texts, np.zeros(nd, dtype=bool), trim, split, False)
+        spans_by_doc: dict[int, list] = {}
+        for d, s, e in child_rows:
+            spans_by_doc.setdefault(d, []).append({"start": s, "end": e})
+        child_spans = [spans_by_doc[d] if scrubbed[d]
+                       else [{"start": 0, "end": int(n_chars[d])}]
+                       for d in range(nd)]
+        scrubbed = scrubbed.tolist()
+    else:
+        child_spans = [None] * nd
+        scrubbed = [False] * nd
+    return pd.DataFrame({
+        "n_chars": n_chars, "n_tokens": tb.counts,
+        "mean_q": mean, "window_q": win, "ratio": ratio,
+        "child_spans": child_spans, "scrubbed": scrubbed,
+    })
 
 
 def make_score_udf(accepted_bc, cfg: FilterConfig):

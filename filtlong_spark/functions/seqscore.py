@@ -59,7 +59,18 @@ def kmers_reverse(seq: str) -> np.ndarray:
 
 
 def phred_qualities(qual: str) -> np.ndarray:
-    """q = char-33; quality = 1 - 10^(-q/10) (src/read.cpp:270-273)."""
+    """q = char-33; quality = 1 - 10^(-q/10) (src/read.cpp:270-273).
+
+    Documented deviation (final-ULP only): the reference's window quality
+    accumulates a rolling add/subtract of q/window (src/read.cpp:226-232,
+    floating-point drift grows with read length), while this engine uses
+    cumsum-differences (core.window_quality). For 0/1 paintings (k-mer
+    mode) every partial sum is an exact integer and the two are
+    bit-identical; for Phred fractions the results can differ in the last
+    ULPs, which can flip a keep/drop vs the C++ binary only when a read's
+    min-window mean sits exactly AT a --min_window_q boundary. The
+    cumsum form is the numerically better one (no drift), so we keep it
+    rather than replicate the drift."""
     q = np.frombuffer(qual.encode("ascii"), dtype=np.uint8).astype(np.float64)
     return 1.0 - np.power(10.0, -(q - 33.0) / 10.0)
 
