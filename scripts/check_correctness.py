@@ -52,7 +52,8 @@ def main():
     oracles = entry_mod.oracle_sql()
 
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "lineitem", "orders"):
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")

@@ -1,0 +1,76 @@
+"""Event analytics: windowed rollup, sessionization, streaming parity."""
+
+import datetime as dt
+
+from filtlong_spark.operators import events as ev_op
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ev_op.EVENTS_SCHEMA)
+
+
+def _t(minute, sec=0):
+    return dt.datetime(2024, 1, 1, 0, minute, sec)
+
+
+def test_windowed_rollup_hourly(spark):
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 0, 5), 1, "click", 1.25, "{}"),
+        (1, dt.datetime(2024, 1, 1, 0, 55), 2, "click", 2.50, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1, 5), 1, "view", 0.75, "{}"),
+    ]
+    out = {(r["win_start_us"], r["event_type"]): (r["n_events"],
+                                                  r["value_cents"])
+           for r in ev_op.windowed_rollup(_ev(spark, rows)).collect()}
+    h0 = int(dt.datetime(2024, 1, 1, 0, 0)
+             .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    h1 = h0 + 3600 * 1_000_000
+    assert out == {(h0, "click"): (2, 375), (h1, "view"): (1, 75)}
+
+
+def test_sessionize_gap_rule(spark):
+    rows = [
+        (0, _t(0), 7, "click", 1.0, "{}"),
+        (1, _t(10), 7, "click", 1.0, "{}"),   # same session (10 min gap)
+        (2, _t(50), 7, "click", 1.0, "{}"),   # 40 min gap -> new session
+        (3, _t(55), 7, "click", 1.0, "{}"),
+        (4, _t(0), 8, "view", 2.0, "{}"),     # other user: own session
+    ]
+    out = sorted((r["user_id"], r["session_idx"], r["n_events"])
+                 for r in ev_op.sessionize(_ev(spark, rows),
+                                           gap_minutes=30).collect())
+    assert out == [(7, 1, 2), (7, 2, 2), (8, 1, 1)]
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    """availableNow watermarked stream rollup == the batch rollup."""
+    from filtlong_spark.streaming import stream as st
+    src = str(tmp_path / "events_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+
+    batch = {(r["win_start_us"], r["event_type"]): (r["n_events"],
+                                                    r["value_cents"])
+             for r in ev_op.windowed_rollup(
+                 spark.read.schema(ev_op.EVENTS_SCHEMA).parquet(src))
+             .collect()}
+
+    out_dir = str(tmp_path / "rollup_out")
+    ck = str(tmp_path / "ck")
+    q = (st.events_stream_rollup(spark, src)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["win_start_us"], r["event_type"]): (r["n_events"],
+                                                  r["value_cents"])
+           for r in spark.read.parquet(out_dir).collect()}
+    # append mode emits a window only once the watermark passes its end:
+    # every emitted window must match batch exactly, and the only windows
+    # withheld are those still inside the 2h watermark horizon of the
+    # final event time (standard Structured Streaming semantics)
+    assert len(got) > 0 and set(got) <= set(batch)
+    assert all(got[k] == batch[k] for k in got)
+    last_win_start = max(k[0] for k in batch)
+    horizon = last_win_start - 2 * 3600 * 1_000_000
+    assert all(k[0] >= horizon for k in set(batch) - set(got))
