@@ -284,6 +284,20 @@ def q_simhash(spark, sf_dir):
     return dedup_op.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: bit-sampling LSH bands (4x4 bits) + exact
+    hamming check on candidates only (never all-pairs)."""
+    return (dedup_op.simhash_pairs(_docs(spark, sf_dir))
+            .orderBy("doc_a", "doc_b"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup over the whole corpus: sign-bucket
+    SELF-join + exact cosine on candidates."""
+    return (sim_op.near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+            .orderBy("probe_id", "vec_id"))
+
+
 def q_ann_cosine(spark, sf_dir):
     return (sim_op.cosine_pairs(_emb(spark, sf_dir), probe_max_id=20,
                                 threshold=0.2)
@@ -446,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_embedding": q_dedup_embedding,
         "lm_quality": q_lm_quality,
         "ann_cosine": q_ann_cosine,
         "ann_topk": q_ann_topk,
@@ -804,6 +820,36 @@ SELECT doc_id,
          AS simhash
 FROM votes GROUP BY doc_id ORDER BY doc_id"""
 
+    band_w = dedup_op.SIMHASH_BITS // dedup_op.SIMHASH_BANDS
+    sql["simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM {DOCS}
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (('0x' || substr(md5(tok), 1, 4))::BIGINT >> b) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.SIMHASH_BITS - 1})) AS b)
+),
+votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> (b * {band_w})) & {(1 << band_w) - 1} AS key
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.SIMHASH_BANDS - 1})) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup_op.SIMHASH_MAX_DIST}
+ORDER BY doc_a, doc_b"""
+
     sql["lm_quality"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest({TOKENS_SQL}) AS tok,
@@ -844,7 +890,7 @@ FROM p GROUP BY doc_id ORDER BY doc_id"""
                          + "SELECT probe_id, vec_id, cos FROM pairs "
                            "WHERE cos >= 0.2 ORDER BY probe_id, vec_id")
 
-    sql["ann_lsh"] = f"""
+    _LSH_CTES = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
@@ -883,9 +929,15 @@ pairs AS (
               * sqrt(list_reduce(list_prepend(0.0,
                 list_transform(c.v, x -> x*x)), (a,b) -> a + b))), 6) AS cos
   FROM be p JOIN be c ON p.bucket = c.bucket AND p.vec_id < c.vec_id
-  WHERE p.vec_id <= 20
-)
-SELECT probe_id, vec_id, bucket, cos FROM pairs ORDER BY probe_id, vec_id"""
+)"""
+
+    sql["ann_lsh"] = _LSH_CTES + """
+SELECT probe_id, vec_id, bucket, cos FROM pairs
+WHERE probe_id <= 20 ORDER BY probe_id, vec_id"""
+
+    sql["dedup_embedding"] = _LSH_CTES + """
+SELECT probe_id, vec_id, cos FROM pairs
+WHERE cos >= 0.3 ORDER BY probe_id, vec_id"""
 
     sql["ann_topk"] = (_COS_PAIR_SQL.format(probe_max=10) + """
 , ranked AS (

@@ -183,6 +183,40 @@ def jaccard_pairs(docs: DataFrame, shingle_n: int = 5,
 
 
 SIMHASH_BITS = 16
+SIMHASH_BANDS = 4   # bit-sampling LSH: 4 bands x 4 bits
+SIMHASH_MAX_DIST = 1  # 16-bit toy width -> tight radius
+
+
+def simhash_pairs(docs: DataFrame,
+                  max_dist: int = SIMHASH_MAX_DIST) -> DataFrame:
+    """SimHash near-duplicate PAIRS: bit-sampling LSH over the 16-bit
+    fingerprints (4 bands x 4 bits — two docs within hamming distance 3
+    must agree on at least one band), then the exact hamming check
+    bit_count(a XOR b) <= max_dist on candidates only. The join is a
+    banded self-equi-join, never all-pairs: the 100 TB-safe shape,
+    identical in spirit to the minhash LSH band join."""
+    fps = simhash(docs)
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bands = fps.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * band_w)
+                     .bitwiseAND(F.lit((1 << band_w) - 1)).alias("key"))
+            for b in range(SIMHASH_BANDS)])).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.expr("bit_count(a.simhash ^ b.simhash)")
+                     .alias("hamming"))
+             .filter(F.col("hamming") <= max_dist)
+             .distinct())
+    return pairs
 
 
 def simhash(docs: DataFrame) -> DataFrame:

@@ -144,21 +144,11 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
         mapper, schema="vec_id long, bucket long, en array<double>")
 
 
-def ann_lsh_candidates(emb: DataFrame, probe_max_id: int) -> DataFrame:
-    """Bucketed ANN: probes join the corpus only within the same sign
-    bucket — a shuffle equi-join on bucket id (no broadcast of the corpus,
-    no cross product; the 100 TB shape when the probe set is too large to
-    broadcast). Cosines for the surviving candidates come from a second
-    vectorized numpy pass, rounded to 6dp for cross-engine determinism."""
+def _bucket_pair_cosines(joined: DataFrame) -> DataFrame:
+    """(probe_id, vec_id, bucket, pn, en) -> + rounded cosine, via one
+    vectorized numpy pass over the joined candidates."""
     import numpy as np
     import pandas as pd
-
-    wb = lsh_buckets(emb)
-    probes = (wb.filter(F.col("vec_id") <= probe_max_id)
-              .select(F.col("vec_id").alias("probe_id"), "bucket",
-                      F.col("en").alias("pn")))
-    joined = (wb.join(probes, "bucket")
-              .filter(F.col("probe_id") < F.col("vec_id")))
 
     def cos_mapper(batches):
         for pdf in batches:
@@ -178,3 +168,36 @@ def ann_lsh_candidates(emb: DataFrame, probe_max_id: int) -> DataFrame:
                             "cos double")
     # round JVM-side like cosine_pairs (Spark/DuckDB share HALF_UP)
     return pairs.withColumn("cos", F.round("cos", 6))
+
+
+def ann_lsh_candidates(emb: DataFrame, probe_max_id: int) -> DataFrame:
+    """Bucketed ANN: probes join the corpus only within the same sign
+    bucket — a shuffle equi-join on bucket id (no broadcast of the corpus,
+    no cross product; the 100 TB shape when the probe set is too large to
+    broadcast). Cosines for the surviving candidates come from a second
+    vectorized numpy pass, rounded to 6dp for cross-engine determinism."""
+    wb = lsh_buckets(emb)
+    probes = (wb.filter(F.col("vec_id") <= probe_max_id)
+              .select(F.col("vec_id").alias("probe_id"), "bucket",
+                      F.col("en").alias("pn")))
+    joined = (wb.join(probes, "bucket")
+              .filter(F.col("probe_id") < F.col("vec_id")))
+    return _bucket_pair_cosines(joined)
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine NEAR-DUP dedup over the whole corpus: bucket
+    SELF-join (every vector probes its own sign bucket — still never
+    all-pairs) + exact cosine filter on candidates. Returns (probe_id,
+    vec_id, cos) with probe_id < vec_id, cos >= threshold. Near-identical
+    vectors collide in all sign buckets with prob ~(1 - theta/pi)^8, so
+    recall on true near-dups is ~1 while the join size is ~N^2/256 per
+    skew-free bucket load."""
+    wb = lsh_buckets(emb)
+    probes = wb.select(F.col("vec_id").alias("probe_id"), "bucket",
+                       F.col("en").alias("pn"))
+    joined = (wb.join(probes, "bucket")
+              .filter(F.col("probe_id") < F.col("vec_id")))
+    return (_bucket_pair_cosines(joined)
+            .filter(F.col("cos") >= threshold)
+            .select("probe_id", "vec_id", "cos"))

@@ -35,3 +35,15 @@ def test_jaccard_hot_shingle_capped(spark):
                                  max_doc_freq=100).count()
     assert capped == 0
     assert time.time() - t0 < 60
+
+
+def test_simhash_pairs_find_planted_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "fast sort joins the hash table rows " * 3)
+    rows = [(1, base), (2, base + " dup"),     # near-identical
+            (3, "entirely different words populate this other document "
+                "about streams windows and aggregations " * 3)]
+    out = dedup.simhash_pairs(_docs(spark, rows), max_dist=2).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs

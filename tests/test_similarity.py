@@ -48,3 +48,14 @@ def test_lsh_buckets_deterministic(spark):
     b = {(r["vec_id"], r["bucket"]) for r in sim.lsh_buckets(emb).collect()}
     assert a == b
     assert all(0 <= bk < 2 ** sim.N_PLANES for _, bk in a)
+
+
+def test_near_dup_pairs_whole_corpus(spark):
+    """Bucket self-join dedup: planted near-dup pairs recovered with their
+    cosines; no probe set involved."""
+    emb = _emb_df(spark)
+    out = sim.near_dup_pairs(emb, threshold=0.99).collect()
+    got = {(r["probe_id"], r["vec_id"]) for r in out}
+    planted = {(i, i + 100) for i in range(50)}
+    assert len(got & planted) / len(planted) >= 0.9
+    assert all(r["cos"] >= 0.99 for r in out)
