@@ -66,3 +66,39 @@ def test_frame_sampling_shape(spark):
     frames = mm.frame_sample_stub(media).collect()
     assert len(frames) >= 10
     assert {f["frame_idx"] for f in frames} == {0}  # duration 0 -> 1 frame
+
+
+def test_sniff_real_container_headers(spark):
+    """mime + dimensions parsed from REAL container bytes (PNG IHDR, GIF
+    screen descriptor, JPEG SOF marker walk)."""
+    import struct
+    png = mm.make_png_bytes(640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    # APP0 length 16 = 2 length bytes + 14 payload bytes, then SOF0
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
+    rows = [(1, "image", png), (2, "image", gif), (3, "image", jpeg),
+            (4, "image", b"not an image")]
+    media = spark.createDataFrame(rows, "doc_id long, kind string, media binary")
+    got = {r["doc_id"]: (r["mime"], r["width"], r["height"])
+           for r in mm.sniff_media_meta(media).collect()}
+    assert got[1] == ("image/png", 640, 480)
+    assert got[2] == ("image/gif", 320, 200)
+    assert got[3] == ("image/jpeg", 1920, 1080)
+    assert got[4] == (None, None, None)
+
+
+def test_media_near_dups_pipeline(spark):
+    """binary media -> features -> the SAME bucketed near-dup join as text
+    embeddings: identical media must pair at cos == 1.0."""
+    blob_a = mm.make_png_bytes(100, 100)
+    blob_b = mm.make_png_bytes(200, 50)
+    rows = [(1, "image", blob_a), (2, "image", blob_a),  # exact dup
+            (3, "image", blob_b)]
+    media = spark.createDataFrame(rows, "doc_id long, kind string, media binary")
+    pairs = {(r["probe_id"], r["vec_id"]): r["cos"]
+             for r in mm.media_near_dups(media).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
