@@ -100,24 +100,41 @@ def fingerprint_df(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling hash over token hashes:
     acc = (acc*31 + h) % 1e9+7, h = first 8 md5 hex chars as int — the web
     analog of the reference's rolling 2-bit k-mer encode
-    (src/kmers.cpp:106-121). Arrow-batched pandas UDF: the fold is
-    sequential by definition; Python ints keep it exact (matches the
-    DuckDB list_reduce oracle bit-for-bit)."""
+    (src/kmers.cpp:106-121). Vectorized via the closed form
+    acc = sum_j h_j * 31^(n-1-j) mod p (every term < p^2 < 2^63 -> exact
+    int64), with ONE md5 per DISTINCT token per batch; identical to the
+    sequential fold (and the DuckDB list_reduce oracle) bit-for-bit."""
     import hashlib
 
     from .scoring import _register_self_contained_pickling
     from .. import core
     _register_self_contained_pickling()
+    P = FINGERPRINT_MOD
 
     @F.pandas_udf("long")
     def fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            acc = 0
-            for m in core.TOKEN_RE.finditer(text or ""):
-                h = int(hashlib.md5(m.group(0).encode()).hexdigest()[:8], 16)
-                acc = (acc * 31 + h) % FINGERPRINT_MOD
-            out.append(acc)
+        import numpy as np
+        texts_l = [t if isinstance(t, str) else "" for t in texts]
+        toks_per = [core.TOKEN_RE.findall(t) for t in texts_l]
+        flat = [t for ts in toks_per for t in ts]
+        out = np.zeros(len(texts_l), dtype=np.int64)
+        if flat:
+            uniq = list(dict.fromkeys(flat))
+            hvals = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % P
+                 for u in uniq), dtype=np.int64, count=len(uniq))
+            h = hvals[pd.Index(uniq).get_indexer(flat)]
+            maxn = max(len(ts) for ts in toks_per)
+            pw = np.ones(maxn, dtype=np.int64)
+            for k in range(1, maxn):
+                pw[k] = pw[k - 1] * 31 % P
+            o = 0
+            for i, ts in enumerate(toks_per):
+                n = len(ts)
+                if n:
+                    seg = h[o:o + n] * pw[n - 1::-1] % P
+                    out[i] = seg.sum() % P
+                    o += n
         return pd.Series(out, dtype="int64")
 
     return docs.select(key, fp(F.col("text")).alias("fingerprint"))

@@ -144,3 +144,30 @@ def test_approx_budget_equals_exact(spark):
     approx, _ = _spark_kept(spark, rows, _cfg(**kw, budget_algorithm="approx"))
     assert exact == approx
     assert 0 < len(exact) < len(rows)
+
+
+def test_physical_plan_properties(spark, tmp_path):
+    """The plans we'd want at 100 TB, asserted: (a) the survivor label
+    join broadcasts the metrics side (text never shuffles), (b) reads of
+    the committed metrics snapshot are column-pruned down to the columns
+    the stats job needs."""
+    import re
+
+    from filtlong_spark.operators import normalize as normalize_op
+
+    ck = str(tmp_path / "ck")
+    rows = fx.volume(sf=0.0002)
+    df = fx.to_spark_df(spark, rows)
+    res = run_filter(spark, df, _cfg(min_length=100, keep_percent=80.0),
+                     checkpoint_dir=ck)
+    res.kept.collect()
+    plan = res.kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    reads2 = spark.read.parquet(ck + "/reads2")
+    agg = reads2.agg(*normalize_op.stats_aggs())
+    s = agg._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m, s
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"mean_q", "n_chars", "hard_passed"}, cols
