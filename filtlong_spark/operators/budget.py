@@ -10,7 +10,9 @@ Two physical strategies:
 - exact: window cumsum over a single global ordering. Correct at any SF,
   but the Window has one partition -> one-task bottleneck. This is the
   small-scale correctness oracle.
-- approx: the 100 TB path. A score HISTOGRAM (one groupBy over B buckets,
+- approx: the 100 TB path (the north_star's "approxQuantile + broadcast
+  threshold instead of a global sort", rendered exactly rather than
+  approximately). A score HISTOGRAM (one groupBy over B buckets,
   partial+final agg -> B rows on the driver) finds the boundary bucket;
   docs strictly above it pass outright; the exact cumsum runs only WITHIN
   the boundary bucket (tiny). One extra narrow job instead of a global

@@ -149,6 +149,22 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                    for k, v in cfg.__dict__.items()},
     }
     if not resumed:
+        # per-partition lineage rows (north_rule): counters per language
+        # partition of the committed snapshot — one column-pruned aggregate
+        # over the metrics-only parquet (on a cluster these are the
+        # Iceberg partition-level counters)
+        part_rows = (reads2.groupBy("lang_pred")
+                     .agg(F.count("*").alias("n_docs"),
+                          F.sum("n_chars").alias("chars"),
+                          F.sum(F.when(F.col("hard_passed"), 1).otherwise(0))
+                          .alias("hard_passed_docs"))
+                     .collect())
+        metrics["partitions"] = {
+            str(r["lang_pred"]): {"n_docs": r["n_docs"],
+                                  "chars": int(r["chars"] or 0),
+                                  "hard_passed_docs": int(
+                                      r["hard_passed_docs"] or 0)}
+            for r in part_rows}
         output_op.write_lineage(scratch, metrics)
 
     # output: reattach text by joining labels back to the source table —

@@ -75,3 +75,19 @@ def test_fresh_run_after_cleanup(spark, tmp_path):
     shutil.rmtree(ckpt)
     r2 = run_filter(spark, df, _cfg(target_chars=10_000), checkpoint_dir=ckpt)
     assert not r2.resumed and r2.kept.count() == n1
+
+
+def test_lineage_has_per_partition_counters(spark, tmp_path):
+    """north_rule: per-partition lineage rows — counters per language
+    partition persisted with the committed snapshot."""
+    ckpt = str(tmp_path / "ckpt4")
+    rows = fx.volume(sf=0.0002)
+    r = run_filter(spark, fx.to_spark_df(spark, rows),
+                   _cfg(min_length=100, langid_enabled=True),
+                   checkpoint_dir=ckpt)
+    lin = output_op.read_lineage(ckpt)
+    parts = lin["partitions"]
+    assert len(parts) >= 1
+    assert sum(p["n_docs"] for p in parts.values()) == r.reads2.count()
+    assert all(set(p) == {"n_docs", "chars", "hard_passed_docs"}
+               for p in parts.values())
