@@ -244,6 +244,13 @@ def q_quality_heuristics(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition signals: top-bigram token fraction + duplicate
+    token fraction. Bigrams via arrays_zip(slice, slice) — codegen array
+    functions, no window shuffle, one hash aggregate."""
+    return ts.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex pieces."""
     d = _docs(spark, sf_dir)
@@ -453,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_children": q_scrub_children,
         "langid": q_langid,
         "quality_heuristics": q_quality_heuristics,
+        "repetition": q_repetition,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -726,6 +734,33 @@ SELECT doc_id, n_tokens,
          AND sum_len::DOUBLE / n_tokens <= 12.0
          AND symbols::DOUBLE / n_chars <= 0.1 AS gopher_keep
 FROM s ORDER BY doc_id"""
+
+    # bigram key joined with ' ' — tokens are \\S+ runs, so a space can
+    # never appear inside one and the string key equals the Spark struct
+    sql["repetition"] = f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
+bg AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks) - 1, 0)),
+    i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM d
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.top_bigram_n, 0) AS top_bigram_n,
+       CASE WHEN a.n_bigrams > 0
+            THEN a.top_bigram_n::DOUBLE / a.n_bigrams ELSE 0.0
+       END AS top_bigram_frac,
+       CASE WHEN len(toks) > 0
+            THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+            ELSE 0.0
+       END AS dup_token_frac
+FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
 
     sql["token_count"] = f"""
 SELECT doc_id, len({TOKENS_SQL}) AS n_tokens,

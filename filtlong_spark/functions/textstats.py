@@ -93,6 +93,39 @@ def langid_from_stats(stats: DataFrame) -> DataFrame:
     return stats.withColumn("lang_pred", pred).withColumn("lang_conf", conf)
 
 
+def repetition_stats(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Gopher-style REPETITION signals (the north_star's 'repetition'
+    heuristic): (key, n_bigrams, top_bigram_n, top_bigram_frac,
+    dup_token_frac). Bigrams come from arrays_zip(slice, slice) — pure
+    codegen array functions, no interpreted HOF and no window shuffle —
+    then one hash aggregate per (doc, bigram) and a max per doc."""
+    toks = tokens_col()
+    n = F.size(toks)
+    bigrams = docs.select(
+        key,
+        F.explode(F.arrays_zip(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))))).alias("bg"))
+    counts = (bigrams.groupBy(key, "bg")
+              .agg(F.count("*").alias("c"))
+              .groupBy(key)
+              .agg(F.sum("c").alias("n_bigrams"),
+                   F.max("c").alias("top_bigram_n")))
+    base = docs.select(key, n.alias("n_tokens"),
+                       F.size(F.array_distinct(toks)).alias("n_distinct"))
+    return (base.join(counts, key, "left")
+            .select(key, F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+                    F.when(F.col("n_bigrams") > 0,
+                           F.col("top_bigram_n").cast("double")
+                           / F.col("n_bigrams")).otherwise(F.lit(0.0))
+                    .alias("top_bigram_frac"),
+                    F.when(F.col("n_tokens") > 0,
+                           1.0 - F.col("n_distinct").cast("double")
+                           / F.col("n_tokens")).otherwise(F.lit(0.0))
+                    .alias("dup_token_frac")))
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -185,6 +185,115 @@ def ann_lsh_candidates(emb: DataFrame, probe_max_id: int) -> DataFrame:
     return _bucket_pair_cosines(joined)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer alternative to sign-LSH.
+# Deterministic throughout: centroid training is seeded by data order, so
+# index builds are repeatable across runs/retries.
+# ---------------------------------------------------------------------------
+
+IVF_LISTS = 16
+IVF_NPROBE = 4
+
+
+def ivf_train(emb: DataFrame, n_lists: int = IVF_LISTS,
+              sample: int = 4096, iters: int = 10):
+    """Train the coarse quantizer: deterministic mini k-means (spherical —
+    assignment by max cosine) over a driver-side SAMPLE (the standard IVF
+    recipe: the index trains on a sample, assignment scans the corpus).
+    Init = first n_lists sample vectors in vec_id order; empty clusters
+    keep their previous centroid. Returns a normalized (n_lists, dim)
+    numpy matrix."""
+    import numpy as np
+    rows = (emb.orderBy("vec_id").limit(sample)
+            .select("embedding").collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    k = min(n_lists, len(Xn))
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        sims = Xn @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[j] = m / nrm
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, list_id, en): one numpy mapInPandas pass assigns every
+    vector to its nearest centroid (BLAS matmul per Arrow batch)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    bc = emb.sparkSession.sparkContext.broadcast(centroids)
+
+    def mapper(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            lists = (En @ C.T).argmax(axis=1).astype(np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "list_id": lists, "en": list(En)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        mapper, schema="vec_id long, list_id long, en array<double>")
+
+
+def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
+                 n_lists: int = IVF_LISTS, nprobe: int = IVF_NPROBE
+                 ) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in ONE inverted list each;
+    probes fan out to their nprobe nearest lists (multi-probe) and join
+    only those lists — an equi-join on list_id, never a cross product.
+    Exact cosines + top-k re-rank on candidates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    C = ivf_train(emb, n_lists)
+    assigned = ivf_assign(emb, C)
+    bc = emb.sparkSession.sparkContext.broadcast((C, nprobe))
+
+    def probe_mapper(batches):
+        Cv, np_probe = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.array(list(pdf["en"]), dtype=np.float64)
+            order = np.argsort(-(P @ Cv.T), axis=1)[:, :np_probe]
+            ids = np.repeat(pdf["vec_id"].to_numpy(), order.shape[1])
+            yield pd.DataFrame({
+                "probe_id": ids,
+                "list_id": order.reshape(-1).astype(np.int64),
+                "pn": [p for p in pdf["en"] for _ in range(order.shape[1])],
+            })
+
+    probes = (assigned.filter(F.col("vec_id") <= probe_max_id)
+              .select("vec_id", "en")
+              .mapInPandas(probe_mapper,
+                           schema="probe_id long, list_id long, "
+                                  "pn array<double>"))
+    joined = (assigned.join(probes, "list_id")
+              .filter(F.col("probe_id") != F.col("vec_id"))
+              .withColumnRenamed("list_id", "bucket"))
+    pairs = _bucket_pair_cosines(
+        joined.select("probe_id", "vec_id", "bucket", "pn", "en"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "cos", "rank"))
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine NEAR-DUP dedup over the whole corpus: bucket
     SELF-join (every vector probes its own sign bucket — still never

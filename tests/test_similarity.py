@@ -59,3 +59,26 @@ def test_near_dup_pairs_whole_corpus(spark):
     planted = {(i, i + 100) for i in range(50)}
     assert len(got & planted) / len(planted) >= 0.9
     assert all(r["cos"] >= 0.99 for r in out)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF multi-probe top-k: near-dup ground truth must be recalled
+    (near-identical vectors share the nearest centroid, and the probe
+    fans out to nprobe lists), and results must be deterministic."""
+    emb = _emb_df(spark)
+    out = sim.ann_ivf_topk(emb, probe_max_id=49, k=3).collect()
+    top1 = {r["probe_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    hits = sum(1 for i in range(50) if top1.get(i) == i + 100)
+    assert hits / 50 >= 0.9
+    again = sim.ann_ivf_topk(emb, probe_max_id=49, k=3).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_ivf_train_deterministic_and_shapes(spark):
+    emb = _emb_df(spark, n=100)
+    c1 = sim.ivf_train(emb, n_lists=8)
+    c2 = sim.ivf_train(emb, n_lists=8)
+    assert c1.shape == (8, 16)
+    assert (c1 == c2).all()
+    lists = {r["list_id"] for r in sim.ivf_assign(emb, c1).collect()}
+    assert lists <= set(range(8)) and len(lists) > 1
