@@ -124,7 +124,14 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
             scored = score_op.score_and_scrub(valid, cfg, accepted_bc)
         reads2, _ = output_op.checkpoint(
             scored, spark, os.path.join(scratch, "reads2"), resume=False)
-        total_input_chars = obs.get["total_chars"] or 0
+        try:
+            total_input_chars = obs.get["total_chars"] or 0
+        except Exception:
+            # an all-empty input lets PropagateEmptyRelation collapse the
+            # observed subtree (joins downstream), so the CollectMetrics
+            # node never runs and Observation.get raises — zero docs means
+            # zero chars
+            total_input_chars = 0
 
     # langid gate (A2 analog): rejected docs never enter normalization
     lang_rejected = reads2.filter(~F.col("lang_ok"))
