@@ -287,6 +287,15 @@ def q_dedup_jaccard(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Candidate pairs -> keep/drop GROUPS: connected components of the
+    minhash-LSH pair graph via min-label propagation (checked against a
+    recursive-CTE DuckDB oracle)."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup_op.lsh_candidate_pairs(d)
+    return dedup_op.dedup_assign(d, pairs).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     return dedup_op.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -467,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -814,6 +824,38 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b"""
+
+    # keep/drop groups: recursive-CTE connected components over the SAME
+    # minhash-LSH candidate pairs (rep = min doc_id reachable)
+    sql["dedup_groups"] = (
+        _MH_CTES.replace("\nWITH d AS", "\nWITH RECURSIVE d AS", 1)
+        + f""",
+bands AS (
+  SELECT doc_id, h // {dedup_op.BAND_ROWS} AS band,
+         string_agg(h::VARCHAR || ':' || minhash, '|' ORDER BY
+                    h::VARCHAR || ':' || minhash) AS band_key
+  FROM sig GROUP BY doc_id, h // {dedup_op.BAND_ROWS}
+),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+  UNION
+  SELECT doc_b, doc_a FROM cpairs
+),
+walk(node, rep) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.dst, w.rep FROM walk w JOIN cedges e ON e.src = w.node
+),
+comps AS (SELECT node, min(rep) AS rep FROM walk GROUP BY node)
+SELECT x.doc_id, coalesce(c.rep, x.doc_id) AS rep_id,
+       coalesce(c.rep, x.doc_id) != x.doc_id AS is_dup
+FROM {DOCS} x LEFT JOIN comps c ON c.node = x.doc_id
+ORDER BY doc_id""")
 
     sql["dedup_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),

@@ -182,6 +182,61 @@ def jaccard_pairs(docs: DataFrame, shingle_n: int = 5,
     return out
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, rep): connected components of the near-dup pair graph via
+    min-label propagation to fixpoint — the step that turns candidate
+    PAIRS into keep/drop GROUPS (rep = smallest doc_id reachable).
+
+    Scale shape: each iteration is one equi-join of the (pairs-only) edge
+    list with the label table, a min-aggregate, and a pointer-jump
+    (rep := rep's rep — path halving, so even long chains converge in
+    O(log n) rounds); only docs that appear in a pair participate.
+    localCheckpoint truncates the lineage each round (the iterative-Spark
+    requirement — without it the logical plan grows without bound)."""
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("rep", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "rep"))
+        new_labels = (msgs.union(labels.select("node", "rep"))
+                      .groupBy("node").agg(F.min("rep").alias("rep")))
+        # pointer jump: follow one extra hop through the rep chain
+        # (renamed-column self-join: alias() resolution through a pending
+        # localCheckpoint trips an AttributeMap miss in Spark 4.1)
+        hop = new_labels.select(F.col("node").alias("jnode"),
+                                F.col("rep").alias("jrep"))
+        new_labels = (new_labels
+                      .join(hop, F.col("rep") == F.col("jnode"), "left")
+                      .select("node",
+                              F.coalesce("jrep", "rep").alias("rep"))
+                      .localCheckpoint())
+        changed = (new_labels.join(
+            labels.withColumnRenamed("rep", "old"), "node")
+            .filter(F.col("rep") < F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_assign(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Final dedup labels for EVERY doc: (doc_id, rep_id, is_dup) — docs
+    outside any pair represent themselves; within a component the
+    smallest doc_id survives (first-writer-wins, like exact_dupes)."""
+    comps = connected_components(pairs)
+    return (docs.select("doc_id")
+            .join(comps.withColumnRenamed("node", "doc_id"), "doc_id",
+                  "left")
+            .select("doc_id",
+                    F.coalesce("rep", F.col("doc_id")).alias("rep_id"))
+            .withColumn("is_dup", F.col("rep_id") != F.col("doc_id")))
+
+
 SIMHASH_BITS = 16
 SIMHASH_BANDS = 4   # bit-sampling LSH: 4 bands x 4 bits
 SIMHASH_MAX_DIST = 1  # 16-bit toy width -> tight radius

@@ -47,3 +47,25 @@ def test_simhash_pairs_find_planted_near_dups(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 2
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_connected_components_chain_and_cluster(spark):
+    """Pairs (1,2),(2,3) chain + (10,11) pair + isolated 20: components
+    resolve to the min doc_id after propagation."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)],
+                                 "doc_id long")
+    out = {r["doc_id"]: (r["rep_id"], r["is_dup"])
+           for r in dedup.dedup_assign(docs, pairs).collect()}
+    assert out == {1: (1, False), 2: (1, True), 3: (1, True),
+                   10: (10, False), 11: (10, True), 20: (20, False)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 24
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "doc_a long, doc_b long")
+    comps = dedup.connected_components(pairs)
+    reps = {r["rep"] for r in comps.collect()}
+    assert reps == {0}
