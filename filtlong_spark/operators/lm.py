@@ -160,8 +160,10 @@ def paint_goodness(tok_rows: DataFrame, c1: DataFrame, c2e: DataFrame,
 
 
 def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
-    """Stage 2: grouped (url, n_chars, lang flags, sorted token flag array)
-    -> READS2 rows (scored parents or re-scored children), sharing
+    """Stage 2: grouped (url, n_chars, lang flags, PARALLEL per-token
+    arrays extracted from the sorted struct array — codegen field
+    extraction, so Arrow ships primitive lists and the mapper works on
+    numpy, never on per-token dicts) -> READS2 rows, sharing
     core.compute_bad_ranges/finalize_scrub with every other path."""
     scoring._register_self_contained_pickling()
     window_size = cfg.window_size
@@ -172,28 +174,28 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
             "window_q", "ratio", "child_start", "child_end", "is_child",
             "lang_pred", "lang_ok"]
 
-    def child_quality(toks, s, e):
+    def child_quality(starts, ends, good, gfirst, gback, s, e):
         """Per-token 0/1 for child span [s, e): full inner tokens reuse
         parent flags (their bigram context is unchanged); edge fragments
         follow the unseen-token rule and the token after a fragment the
         unigram-backoff rule (see module docstring)."""
+        import numpy as np
+        inside = (ends > s) & (starts < e)
+        idx = np.nonzero(inside)[0]
         q = []
         prev_was_fragment = False
-        for t in toks:
-            ts, te = t["start"], t["end"]
-            if te <= s or ts >= e:
-                continue
-            if ts < s or te > e:            # fragment at an edge
+        for i in idx:
+            if starts[i] < s or ends[i] > e:  # fragment at an edge
                 q.append(1.0 if eps_good else 0.0)
                 prev_was_fragment = True
-            elif not q:                     # child position 0, full token
-                q.append(1.0 if t["good_first"] else 0.0)
+            elif not q:                       # child position 0, full token
+                q.append(1.0 if gfirst[i] else 0.0)
                 prev_was_fragment = False
-            elif prev_was_fragment:         # full token after a fragment
-                q.append(1.0 if t["good_backoff"] else 0.0)
+            elif prev_was_fragment:           # full token after a fragment
+                q.append(1.0 if gback[i] else 0.0)
                 prev_was_fragment = False
-            else:                           # parent bigram intact
-                q.append(1.0 if t["good"] else 0.0)
+            else:                             # parent bigram intact
+                q.append(1.0 if good[i] else 0.0)
         return q
 
     def mapper(batches):
@@ -202,31 +204,42 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
         from .. import core
         for pdf in batches:
             rows = []
-            for url, n_chars, toks_all in zip(pdf["url"], pdf["n_chars"],
-                                              pdf["toks"]):
+            for (url, n_chars, lang_pred, lang_ok, pos, start, end, good,
+                 gfirst, gback) in zip(
+                    pdf["url"], pdf["n_chars"], pdf["lang_pred"],
+                    pdf["lang_ok"], pdf["pos"], pdf["start"], pdf["end"],
+                    pdf["good"], pdf["good_first"], pdf["good_backoff"]):
                 n = int(n_chars)
-                t0 = toks_all[0] if len(toks_all) else None
-                lang_pred = t0["lang_pred"] if t0 is not None else None
-                lang_ok = bool(t0["lang_ok"]) if t0 is not None else True
                 if not lang_ok:
                     rows.append((url, url, n, 0, 0.0, 0.0, 1.0, 0, n,
                                  False, lang_pred, False))
                     continue
-                pii_sp = [(int(t["start"]), int(t["end"]))
-                          for t in toks_all if t["pos"] == -2]
-                toks = [t for t in toks_all if t["pos"] >= 0]
-                q = np.array([1.0 if t["good"] else 0.0 for t in toks])
+                pos = np.asarray(pos, dtype=np.int64)
+                start = np.asarray(start, dtype=np.int64)
+                end = np.asarray(end, dtype=np.int64)
+                tok_m = pos >= 0
+                starts, ends = start[tok_m], end[tok_m]
+                q = np.asarray(good, dtype=np.float64)[tok_m]
                 mq = core.mean_quality(q)
                 wq = core.window_quality(q, window_size)
                 if scrub:
-                    spans_q = [(int(t["start"]), int(t["end"]),
-                                float(q[i])) for i, t in enumerate(toks)]
+                    pii_m = pos == -2
+                    pii_sp = (list(zip(start[pii_m].tolist(),
+                                       end[pii_m].tolist()))
+                              if pii_m.any() else None)
+                    spans_q = list(zip(starts.tolist(), ends.tolist(),
+                                       q.tolist()))
                     res = core.finalize_scrub(
                         core.compute_bad_ranges(spans_q, trim, split, n,
-                                                pii_sp or None), n)
+                                                pii_sp), n)
                     if res.changed:
+                        gfirst_a = np.asarray(gfirst, dtype=bool)[tok_m]
+                        gback_a = np.asarray(gback, dtype=bool)[tok_m]
+                        good_a = q > 0.0
                         for (s, e) in res.child_spans:
-                            cq = np.array(child_quality(toks, s, e))
+                            cq = np.array(child_quality(
+                                starts, ends, good_a, gfirst_a, gback_a,
+                                s, e))
                             cmq = core.mean_quality(cq)
                             cwq = core.window_quality(cq, window_size)
                             rows.append((core.child_name(url, s, e), url,
@@ -234,7 +247,7 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
                                          core.window_ratio(cmq, cwq),
                                          s, e, True, lang_pred, True))
                         continue
-                rows.append((url, url, n, len(toks), mq, wq,
+                rows.append((url, url, n, int(q.size), mq, wq,
                              core.window_ratio(mq, wq), 0, n, False,
                              lang_pred, True))
             yield pd.DataFrame(rows, columns=COLS)
@@ -254,12 +267,23 @@ def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
     tok_rows = pages.select("url", "text").mapInPandas(
         make_token_mapper(cfg), schema=TOK_SCHEMA)
     painted = paint_goodness(tok_rows, c1, c2e, total, cfg.lm_threshold)
+    # one shuffle on url; the sorted struct array is then split into
+    # PARALLEL primitive arrays (codegen field extraction) so the stage-2
+    # mapper receives numpy-friendly lists, not per-token dicts
     grouped = (painted.groupBy("url")
                .agg(F.max("n_chars").alias("n_chars"),
+                    F.max("lang_pred").alias("lang_pred"),
+                    F.min("lang_ok").alias("lang_ok"),
                     F.sort_array(F.collect_list(F.struct(
                         "pos", "start", "end", "good", "good_first",
-                        "good_backoff", "lang_pred", "lang_ok")))
-                    .alias("toks")))
+                        "good_backoff"))).alias("toks"))
+               .select("url", "n_chars", "lang_pred", "lang_ok",
+                       F.col("toks.pos").alias("pos"),
+                       F.col("toks.start").alias("start"),
+                       F.col("toks.end").alias("end"),
+                       F.col("toks.good").alias("good"),
+                       F.col("toks.good_first").alias("good_first"),
+                       F.col("toks.good_backoff").alias("good_backoff")))
     eps_good = bool(total) and (1.0 / (10.0 * total) >= cfg.lm_threshold)
     reads2 = grouped.mapInPandas(make_reassemble_mapper(cfg, eps_good),
                                  schema=scoring.READS2_SCHEMA)
