@@ -52,8 +52,12 @@ def quality_catalyst(pages: DataFrame, accepted: DataFrame,
     toks = pages.select(
         F.col(doc_key),
         F.explode(F.expr(scoring_tokenize_expr())).alias("token"))
-    acc = F.broadcast(accepted.select("token").distinct()
-                      .withColumn("_hit", F.lit(1)))
+    # no broadcast hint on purpose: this IS the spill path for accepted
+    # sets too big to broadcast — AQE broadcasts when the set is small and
+    # falls back to a shuffle join when it isn't (forcing the hint would
+    # OOM exactly in the case this path exists for)
+    acc = (accepted.select("token").distinct()
+           .withColumn("_hit", F.lit(1)))
     joined = toks.join(acc, "token", "left")
     return (joined.groupBy(doc_key)
             .agg(F.count("*").alias("n_tokens"),
