@@ -1,0 +1,153 @@
+"""WARC source: Common-Crawl archives -> the input_hint pages table.
+
+Mirrors the FASTX source's physical design (sources/fastx.py): files are
+the unit of parallelism (WARC members are gzip-concatenated, not
+splittable), the driver globs paths, one task parses each file in an
+Arrow-batched pass. Pure stdlib — WARC/1.0 record framing + HTTP payload
+split + a deterministic HTML->text extractor, so `text` is reproducible
+byte-for-byte (the north_rule's per-url invariant).
+
+pages schema out: (url string, warc_ts timestamp, html binary,
+text string, lang string) — lang from the Content-Language header when
+present, else null (the pipeline's langid gate predicts it anyway).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import html as html_mod
+import io
+import os
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+# block-level tags become newlines so paragraph structure survives
+_BLOCK_RE = re.compile(
+    r"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|"
+    r"footer|blockquote)\b[^>]*>", re.IGNORECASE)
+
+
+def extract_text(html: str) -> str:
+    """Deterministic HTML -> text: drop script/style/comments, turn block
+    tags into newlines, strip remaining tags, unescape entities, collapse
+    runs of spaces/tabs (newlines kept single). No external parser —
+    byte-reproducible everywhere."""
+    s = _SCRIPT_STYLE_RE.sub(" ", html)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub(" ", s)
+    s = html_mod.unescape(s)
+    lines = [_WS_RE.sub(" ", ln).strip() for ln in s.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def _parse_warc_ts(value: str):
+    try:
+        return (datetime.fromisoformat(value.replace("Z", "+00:00"))
+                .astimezone(timezone.utc).replace(tzinfo=None))
+    except ValueError:
+        return None
+
+
+def parse_warc(stream: io.BufferedIOBase):
+    """Yield (headers dict, payload bytes) per WARC/1.0 record."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"Error: not a WARC record header: {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or not h.strip():
+                break
+            k, _, v = h.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        payload = stream.read(length)
+        yield headers, payload
+
+
+def _http_body_and_headers(payload: bytes) -> tuple[bytes, dict[str, str]]:
+    """Split an HTTP response payload into (body, lowercase headers)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload, {}
+    head = payload[:sep].decode("utf-8", "replace")
+    headers = {}
+    for ln in head.split("\r\n")[1:]:
+        k, _, v = ln.partition(":")
+        if v:
+            headers[k.strip().lower()] = v.strip()
+    return payload[sep + 4:], headers
+
+
+def open_warc(path: str) -> io.BufferedIOBase:
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def parse_warc_file(path: str) -> list[dict]:
+    """WARC file -> pages rows (response records only)."""
+    rows = []
+    with open_warc(path) as f:
+        for headers, payload in parse_warc(f):
+            if headers.get("warc-type") != "response":
+                continue
+            url = headers.get("warc-target-uri")
+            if not url:
+                continue
+            body, http = _http_body_and_headers(payload)
+            rows.append({
+                "url": url,
+                "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+                "html": body,
+                "text": extract_text(body.decode("utf-8", "replace")),
+                "lang": http.get("content-language"),
+            })
+    return rows
+
+
+def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Distributed WARC scan -> pages DataFrame (one task per file)."""
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files = []
+    for p in paths:
+        matched = sorted(glob.glob(p))
+        if not matched:
+            raise FileNotFoundError(f"Error: cannot find file: {p}")
+        files.extend(matched)
+
+    files_df = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(len(files))
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                rows.extend(parse_warc_file(path))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return files_df.mapInPandas(mapper, schema=PAGES_SCHEMA)

@@ -1,0 +1,77 @@
+"""WARC source + deterministic HTML text extraction."""
+
+import gzip
+
+from filtlong_spark.sources import warc
+
+
+def _record(url, date, body_html, lang=None):
+    http_headers = "HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    if lang:
+        http_headers += f"\r\nContent-Language: {lang}"
+    payload = (http_headers + "\r\n\r\n").encode() + body_html.encode()
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _warcinfo():
+    body = b"software: test"
+    return (f"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body + b"\r\n\r\n"
+
+
+HTML = ("<html><head><title>T</title><style>b{color:red}</style></head>"
+        "<body><h1>Big &amp; bold</h1><p>the fast sort</p>"
+        "<script>var x=1;</script><div>second   block</div></body></html>")
+
+
+def test_extract_text_deterministic():
+    t = warc.extract_text(HTML)
+    assert "var x=1" not in t and "color:red" not in t
+    assert "Big & bold" in t          # entity unescaped
+    assert "the fast sort" in t
+    assert "second block" in t        # whitespace collapsed
+    assert t == warc.extract_text(HTML)
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    data = (_warcinfo()
+            + _record("https://a.test/1", "2024-03-01T12:00:00Z", HTML, "en")
+            + _record("https://a.test/2", "2024-03-01T12:05:00Z",
+                      "<p>hello world</p>"))
+    plain = tmp_path / "x.warc"
+    plain.write_bytes(data)
+    gz = tmp_path / "y.warc.gz"
+    gz.write_bytes(gzip.compress(data))
+
+    df = warc.read_warc(spark, [str(plain), str(gz)])
+    rows = sorted(df.collect(), key=lambda r: (r["url"], r["warc_ts"]))
+    assert len(rows) == 4  # 2 responses x 2 files; warcinfo skipped
+    r = rows[0]
+    assert r["url"] == "https://a.test/1"
+    assert r["lang"] == "en"
+    assert r["warc_ts"].month == 3 and r["warc_ts"].hour == 12
+    assert bytes(r["html"]).startswith(b"<html>")
+    assert "the fast sort" in r["text"]
+
+
+def test_warc_to_pipeline(spark, tmp_path):
+    """WARC straight into the quality filter (the full ingestion story)."""
+    from filtlong_spark.config import FilterConfig
+    from filtlong_spark.plans.pipeline import run_filter
+    body = "<p>" + "the fast sort of a big hash join " * 20 + "</p>"
+    data = _record("https://p.test/doc", "2024-03-01T00:00:00Z", body)
+    p = tmp_path / "p.warc"
+    p.write_bytes(data)
+    pages = warc.read_warc(spark, str(p))
+    from filtlong_spark import fixtures as fx
+    res = run_filter(spark, pages,
+                     FilterConfig(min_length=10, mode="intrinsic",
+                                  vocab=fx.VOCAB))
+    kept = res.kept.collect()
+    assert len(kept) == 1 and kept[0]["url"] == "https://p.test/doc"
+    assert kept[0]["mean_q"] > 50
