@@ -152,6 +152,20 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "cpus": cpus,
         "startup_sec": round(startup, 1),
     }
+
+    # throughput headline on a compute-bound input (the sf0.1 testdata is
+    # 5k docs — fixed job latencies dominate there); min of 2 runs
+    if os.environ.get("BENCH_BIG", "1") != "0":
+        big_path = os.environ.get("BENCH_BIG_PAGES",
+                                  "/root/repo/data/pages_sf0.3.parquet")
+        if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+            from filtlong_spark import fixtures as fx
+            fx.volume_spark(spark, 0.3).write.mode("overwrite").parquet(
+                big_path)
+        big = min((run_scaling_pipeline(spark, big_path) for _ in range(2)),
+                  key=lambda r: r["pipeline_sec"])
+        out["big_input"] = big
+
     spark.stop()
     return out
 
