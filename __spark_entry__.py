@@ -814,11 +814,16 @@ SELECT doc_id, h, minhash FROM sig ORDER BY doc_id, h"""
 
     sql["dedup_lsh_pairs"] = f"""
 {_MH_CTES},
-bands AS (
+bands0 AS (
   SELECT doc_id, h // {dedup_op.BAND_ROWS} AS band,
          string_agg(h::VARCHAR || ':' || minhash, '|' ORDER BY
                     h::VARCHAR || ':' || minhash) AS band_key
   FROM sig GROUP BY doc_id, h // {dedup_op.BAND_ROWS}
+),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key)
+          <= {dedup_op.MAX_BAND_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -830,11 +835,16 @@ ORDER BY doc_a, doc_b"""
     sql["dedup_groups"] = (
         _MH_CTES.replace("\nWITH d AS", "\nWITH RECURSIVE d AS", 1)
         + f""",
-bands AS (
+bands0 AS (
   SELECT doc_id, h // {dedup_op.BAND_ROWS} AS band,
          string_agg(h::VARCHAR || ':' || minhash, '|' ORDER BY
                     h::VARCHAR || ':' || minhash) AS band_key
   FROM sig GROUP BY doc_id, h // {dedup_op.BAND_ROWS}
+),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, band_key)
+          <= {dedup_op.MAX_BAND_BUCKET}
 ),
 cpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -915,10 +925,15 @@ fp AS (
            AS simhash
   FROM votes GROUP BY doc_id
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, simhash, b AS band,
          (simhash >> (b * {band_w})) & {(1 << band_w) - 1} AS key
   FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.SIMHASH_BANDS - 1})) AS b)
+),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, key)
+          <= {dedup_op.MAX_BAND_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming

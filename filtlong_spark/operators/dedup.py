@@ -108,11 +108,31 @@ def minhash_signatures(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
         "doc_id", f"stack({N_HASHES}, {stack}) AS (h, minhash)")
 
 
-def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+MAX_BAND_BUCKET = 1000  # hot-bucket guard (mirrored in the SQL oracle)
+
+
+def _cap_buckets(bands: DataFrame, keys: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop band buckets holding more than max_bucket docs — a bucket of
+    B docs yields B^2/2 candidate pairs, so one 10^6-doc duplicate
+    cluster would otherwise explode the self-join. Clusters that large
+    belong to EXACT dedup (run first in a real pipeline); the cap is
+    mirrored in the DuckDB oracles."""
+    if max_bucket is None:
+        return bands
+    sizes = (bands.groupBy(*keys).agg(F.count("*").alias("_bs"))
+             .filter(F.col("_bs") <= max_bucket).drop("_bs"))
+    return bands.join(sizes, keys)
+
+
+def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3,
+                        max_bucket: int | None = MAX_BAND_BUCKET
+                        ) -> DataFrame:
     """LSH banding: band key = concat of the band's minhashes; docs sharing
     a band bucket become candidate pairs (a < b). The join is on band_key —
     a self-equi-join on a high-cardinality key, shuffle-partitioned, no
-    cross product."""
+    cross product; buckets above max_bucket docs are dropped (hot-key
+    guard, see _cap_buckets)."""
     wide = minhash_wide(docs, shingle_n)
     n_bands = N_HASHES // BAND_ROWS
     band_rows = []
@@ -128,6 +148,7 @@ def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
             for b, key in band_rows])).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"),
              F.col("bk.band_key").alias("band_key"))
+    bands = _cap_buckets(bands, ["band", "band_key"], max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -243,7 +264,8 @@ SIMHASH_MAX_DIST = 1  # 16-bit toy width -> tight radius
 
 
 def simhash_pairs(docs: DataFrame,
-                  max_dist: int = SIMHASH_MAX_DIST) -> DataFrame:
+                  max_dist: int = SIMHASH_MAX_DIST,
+                  max_bucket: int | None = MAX_BAND_BUCKET) -> DataFrame:
     """SimHash near-duplicate PAIRS: bit-sampling LSH over the 16-bit
     fingerprints (4 bands x 4 bits — two docs within hamming distance 3
     must agree on at least one band), then the exact hamming check
@@ -261,6 +283,11 @@ def simhash_pairs(docs: DataFrame,
             for b in range(SIMHASH_BANDS)])).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
+    # NOTE on widths: 16-bit simhash (this sandbox's oracle-friendly toy
+    # width) gives only 16 values per 4-bit band — production uses 64-bit
+    # fingerprints with 16-bit bands; the bucket cap below is the guard
+    # either way.
+    bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.key") == F.col("b.key"))

@@ -69,3 +69,23 @@ def test_connected_components_long_chain_converges(spark):
     comps = dedup.connected_components(pairs)
     reps = {r["rep"] for r in comps.collect()}
     assert reps == {0}
+
+
+def test_lsh_band_bucket_cap(spark):
+    """A giant exact-duplicate cluster shares every band bucket: without
+    the cap the band self-join is quadratic in the cluster size; with it
+    the cluster's buckets are dropped (exact dedup handles such clusters
+    first in a real pipeline) while normal near-dups still pair."""
+    base = "the quick brown fox jumps over the lazy dog again " * 4
+    rows = [(i, base) for i in range(300)]                    # giant cluster
+    rows += [(1000, "some distinct words here for this one document "
+                    "talking about hash joins and sort orders"),
+             (1001, "some distinct words here for this one document "
+                    "talking about hash joins and sort orders too")]
+    docs = _docs(spark, rows)
+    pairs = dedup.lsh_candidate_pairs(docs, max_bucket=100).collect()
+    ids = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert ids <= {1000, 1001}           # cluster capped out
+    assert (1000, 1001) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+    uncapped = dedup.lsh_candidate_pairs(docs, max_bucket=None).count()
+    assert uncapped >= 300 * 299 / 2     # proves the cap was load-bearing
