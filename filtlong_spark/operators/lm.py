@@ -134,7 +134,14 @@ def paint_goodness(tok_rows: DataFrame, c1: DataFrame, c2e: DataFrame,
                    total: int, threshold: float) -> DataFrame:
     """Catalyst rendering of core.bigram_prob + threshold painting: two
     LEFT joins + a CASE. All probabilities are ratios of exact integer
-    counts -> doubles identical to the Python painter bit-for-bit."""
+    counts -> doubles identical to the Python painter bit-for-bit.
+
+    Skew note: when the pruned count tables fit the broadcast threshold,
+    AQE turns both joins into broadcasts and token-key skew is moot. In
+    the shuffle-join fallback, stopword keys ('the', ...) are the hottest
+    keys of any web corpus — AQE's skew-join splitting
+    (spark.sql.adaptive.skewJoin.enabled, on by default) splits those
+    partitions; keep it enabled on clusters running this mode."""
     j = (tok_rows
          .join(c2e, ["prev", "tok"], "left")
          .join(c1, "tok", "left"))
