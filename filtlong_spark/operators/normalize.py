@@ -11,6 +11,8 @@ mean_q_score = 50.0 (FIXTURES.md F7).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,9 +54,27 @@ def normalize(reads2: DataFrame, cfg: FilterConfig, stats=None) -> DataFrame:
         # sqrt is IEEE-correctly-rounded on both JVM and CPython -> the
         # default-weight final score is bit-identical to the oracle's
         g = F.sqrt(F.col("length_s") * F.col("mean_q_score"))
-    else:
-        g = F.pow(F.pow("length_s", F.lit(wl)) * F.pow("mean_q_score", F.lit(wq)),
-                  F.lit(1.0 / (wl + wq)))
-    wf = ww / (wl + wq + ww)
+        wf = ww / (wl + wq + ww)
+        return df.withColumn(
+            "final_score", g * (F.lit(1.0 - wf) + F.col("ratio") * F.lit(wf)))
+
+    # non-default weights need pow, and JVM pow is only 1-ulp-accurate vs
+    # libm — enough to flip a keep/drop at an exact budget tie. Route the
+    # (rare) weighted path through the SHARED Python kernel so scores are
+    # bit-identical to the oracle; it runs over three small double
+    # columns, not the text.
+    from .. import core
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    @F.pandas_udf("double")
+    def weighted_fs(length_s: pd.Series, mqs: pd.Series,
+                    ratio: pd.Series) -> pd.Series:
+        return pd.Series([core.final_score(ls, m, r, wl, wq, ww)
+                          for ls, m, r in zip(length_s, mqs, ratio)],
+                         dtype="float64")
+
     return df.withColumn(
-        "final_score", g * (F.lit(1.0 - wf) + F.col("ratio") * F.lit(wf)))
+        "final_score",
+        weighted_fs(F.col("length_s"), F.col("mean_q_score"),
+                    F.col("ratio")))

@@ -171,3 +171,16 @@ def test_physical_plan_properties(spark, tmp_path):
     assert m, s
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols <= {"mean_q", "n_chars", "hard_passed"}, cols
+
+
+@pytest.mark.parametrize("weights", [
+    dict(length_weight=2.0, mean_q_weight=1.0, window_q_weight=3.0),
+    dict(length_weight=0.5, mean_q_weight=2.5, window_q_weight=1.0),
+    dict(length_weight=1.0, mean_q_weight=1.0, window_q_weight=0.0),
+])
+def test_nondefault_weights_bit_identical(spark, weights):
+    """Weighted final scores must be BIT-identical to the oracle (JVM pow
+    is 1-ulp off libm; the weighted path routes through the shared Python
+    kernel instead)."""
+    assert_match(spark, fx.volume(sf=0.0002),
+                 dict(min_length=100, keep_percent=70.0, **weights))
