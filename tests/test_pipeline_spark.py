@@ -184,3 +184,20 @@ def test_nondefault_weights_bit_identical(spark, weights):
     kernel instead)."""
     assert_match(spark, fx.volume(sf=0.0002),
                  dict(min_length=100, keep_percent=70.0, **weights))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(window_size=1, min_window_q=50.0, min_length=1),
+    dict(window_size=2, trim=True, split=1, pii_scrub=True, min_length=1),
+    dict(keep_percent=5.0, budget_algorithm="approx", min_length=1),
+])
+def test_exotic_config_combos(spark, kw):
+    """Corner configs from the fuzz sweep (window 1-2, split 1, tiny
+    keep_percent): bit-exact vs the oracle."""
+    assert_match(spark, fx.volume(sf=0.0002), kw)
+
+
+def test_exotic_refset_combo(spark):
+    assert_match(spark, fx.volume(sf=0.0002),
+                 dict(required_copies=8, trim=True, split=25, min_length=1),
+                 ref_rows=fx.ref_corpus(noisy=True), mode="refset")
