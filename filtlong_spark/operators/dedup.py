@@ -18,7 +18,7 @@ engines, no float ambiguity except cosine, which is rounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 NORM_EXPR = "replace(text, ' dup', '')"  # testdata near-dup normalizer
 

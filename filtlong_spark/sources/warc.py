@@ -18,7 +18,6 @@ import glob
 import gzip
 import html as html_mod
 import io
-import os
 import re
 from datetime import datetime, timezone
 

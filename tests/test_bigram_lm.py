@@ -1,6 +1,5 @@
 """Bigram-LM quality mode (KenLM-style perplexity slot)."""
 
-import numpy as np
 import pytest
 
 from filtlong_spark import core

@@ -1,6 +1,5 @@
 """PII/toxicity regex scrub + language-ID gate (north_rule stages)."""
 
-import pytest
 
 from filtlong_spark import core
 from filtlong_spark import fixtures as fx
