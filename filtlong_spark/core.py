@@ -230,7 +230,14 @@ def batch_tokenize(texts: list[str]) -> TokenBatch:
         codes = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
         nz = ~_WS_LUT_ASCII[codes]
     else:
-        codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        try:
+            raw = blob.encode("utf-32-le")
+        except UnicodeEncodeError:
+            # lone surrogates (possible from surrogateescape upstream
+            # decoders) can't round-trip utf-32 — take the slow per-doc
+            # path; \S matches surrogates, so finditer handles them
+            return _batch_tokenize_slow(texts, doc_starts, blob)
+        codes = np.frombuffer(raw, dtype=np.uint32)
         nz = ~_WS_LUT[np.minimum(codes, _WS_MAX + 1)]
     d8 = np.diff(nz.view(np.int8))
     tstarts = np.nonzero(d8 == 1)[0] + 1
@@ -245,6 +252,26 @@ def batch_tokenize(texts: list[str]) -> TokenBatch:
     counts = np.bincount(doc_of, minlength=nd).astype(np.int64)
     return TokenBatch(tokens, doc_of, starts, ends, counts, doc_starts,
                       blob)
+
+
+def _batch_tokenize_slow(texts, doc_starts, blob) -> "TokenBatch":
+    """Per-doc finditer fallback for strings the vectorized offset pass
+    can't encode (lone surrogates). Same outputs as batch_tokenize."""
+    tokens, doc_of_l, starts_l, ends_l = [], [], [], []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for d, t in enumerate(texts):
+        c = 0
+        for m in TOKEN_RE.finditer(t):
+            tokens.append(m.group(0))
+            doc_of_l.append(d)
+            starts_l.append(m.start())
+            ends_l.append(m.end())
+            c += 1
+        counts[d] = c
+    return TokenBatch(tokens, np.array(doc_of_l, dtype=np.int64),
+                      np.array(starts_l, dtype=np.int64),
+                      np.array(ends_l, dtype=np.int64), counts,
+                      doc_starts, blob)
 
 
 def flat_token_quality(tokens_flat: list[str], accepted) -> np.ndarray:

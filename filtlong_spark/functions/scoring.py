@@ -130,10 +130,11 @@ def _batch_scrub(tb, q, texts, gated, trim, split, pii):
 
     Bad RUNS are found over the whole batch at once (boundary masks on the
     flat quality array); trim edges via first/last-good-token gathers; PII
-    via one combined-regex prefilter over the blob. Only docs with an
-    actual selected range run any per-doc Python, and that per-doc step is
-    just range assembly + core.finalize_scrub — semantics identical to
-    core.scrub_spans (property-tested)."""
+    via cheap necessary-condition scans (core.pii_possible) before the
+    exact per-pattern pass. Only docs with an actual selected range run
+    any per-doc Python, and that per-doc step is just range assembly +
+    core.finalize_scrub — semantics identical to core.scrub_spans
+    (property-tested)."""
     import numpy as np
     nd = len(texts)
     doc_of, starts, ends = tb.doc_of, tb.starts, tb.ends

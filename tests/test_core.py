@@ -236,3 +236,14 @@ def test_batch_scrub_matches_scalar(texts, trim, split, pii):
             assert got_children == res.child_spans, (d, t)
         else:
             assert got_children == []
+
+
+def test_batch_tokenize_surrogate_fallback():
+    """Lone surrogates (surrogateescape upstream) can't encode to utf-32;
+    the slow per-doc fallback must produce identical structure."""
+    texts = ["ab \ud800cd ef", "plain text"]
+    tb = core.batch_tokenize(texts)
+    exp = [[(t, s, e) for t, s, e in core.tokenize(x)] for x in texts]
+    assert tb.tokens == [t for d in exp for t, _, _ in d]
+    assert tb.counts.tolist() == [len(d) for d in exp]
+    assert tb.starts.tolist() == [s for d in exp for _, s, _ in d]
