@@ -6,10 +6,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
 
---scaling: run the headline job at local[8] and local[32] (fresh JVM each,
-via subprocess) on the same input and report throughput at both plus the
-scaling efficiency — the sandbox proxy for N vs 4N executors required by
-BASELINE.json's north_rule.
+--scaling: run the headline job at N vs 4N taskset-pinned cores (fresh
+JVM each, via subprocess; default 2 vs 8 — see run_scaling for why the
+sub-ceiling pairing is the faithful cluster proxy) on the same input and
+report throughput at both plus the scaling efficiency — the sandbox
+rendering of the N vs 4N executors required by BASELINE.json's
+north_rule.
 """
 
 from __future__ import annotations
