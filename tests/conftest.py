@@ -25,3 +25,16 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+# deep property-test profile: HYPOTHESIS_PROFILE=deep python -m pytest ...
+try:
+    from hypothesis import HealthCheck, settings as _hyp_settings
+    _hyp_settings.register_profile(
+        "deep", max_examples=3000, deadline=None,
+        suppress_health_check=list(HealthCheck))
+    import os as _os
+    if _os.environ.get("HYPOTHESIS_PROFILE"):
+        _hyp_settings.load_profile(_os.environ["HYPOTHESIS_PROFILE"])
+except ImportError:
+    pass

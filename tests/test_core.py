@@ -122,7 +122,11 @@ def test_child_name():
 # Flat (batch) kernels must be BIT-IDENTICAL to the scalar path
 # ---------------------------------------------------------------------------
 
+import os
+
 from hypothesis import given, settings
+
+_EXAMPLES = int(os.environ.get('HYP_EXAMPLES', '200'))
 from hypothesis import strategies as st
 
 _docs_strategy = st.lists(
@@ -131,7 +135,7 @@ _docs_strategy = st.lists(
 
 
 @given(docs=_docs_strategy, window=st.integers(1, 12))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 def test_flat_mean_window_matches_scalar(docs, window):
     q_flat = np.array([v for d in docs for v in d], dtype=np.float64)
     counts = np.array([len(d) for d in docs], dtype=np.int64)
@@ -152,7 +156,7 @@ _token_strategy = st.lists(
 
 
 @given(docs=_token_strategy)
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 def test_flat_token_quality_and_langid_match_scalar(docs):
     flat = [t for d in docs for t in d]
     counts = np.array([len(d) for d in docs], dtype=np.int64)
@@ -186,7 +190,7 @@ _texts_strategy = st.lists(
 
 
 @given(texts=_texts_strategy)
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 def test_batch_tokenize_matches_scalar(texts):
     tb = core.batch_tokenize(texts)
     flat_exp, starts_exp, ends_exp, doc_exp = [], [], [], []
@@ -208,7 +212,7 @@ def test_batch_tokenize_matches_scalar(texts):
     min_size=0, max_size=6),
     trim=st.booleans(), split=st.sampled_from([None, 1, 2, 4, 8]),
     pii=st.booleans())
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 def test_batch_scrub_matches_scalar(texts, trim, split, pii):
     """_batch_scrub == per-doc scrub_spans for every doc ('g'-tokens good,
     everything else bad; pii spans via the real patterns)."""
