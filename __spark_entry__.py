@@ -307,10 +307,17 @@ def q_simhash_pairs(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+LSH_ORACLE_BAND_BITS = 6  # driver-gate width: the synthetic embeddings
+# have NO near-dups (max pairwise cos ~0.51), so the production 4x16-bit
+# banding correctly returns ~nothing on them; 4x6-bit bands push real
+# values through the identical banding+cap+cosine path in both engines.
+
+
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup over the whole corpus: sign-bucket
-    SELF-join + exact cosine on candidates."""
-    return (sim_op.near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+    """Embedding-cosine near-dup over the whole corpus: banded sign-LSH
+    SELF-join (capped buckets) + exact cosine on candidates."""
+    return (sim_op.near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
+                                  band_bits=LSH_ORACLE_BAND_BITS)
             .orderBy("probe_id", "vec_id"))
 
 
@@ -363,12 +370,14 @@ def q_lm_quality(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN candidates (the scale path: equi-join on
-    bucket, no broadcast of the corpus). Buckets come from md5-derived
-    INTEGER hyperplanes over floor(x*1000+0.5)-quantized embeddings, so
-    the plane signs are exact int64 in both engines and the DuckDB oracle
-    reproduces them bit-for-bit."""
-    return (sim_op.ann_lsh_candidates(_emb(spark, sf_dir), probe_max_id=20)
+    """Banded sign-LSH ANN candidates (the scale path: equi-join on
+    (band, key), hot buckets capped, no broadcast of the corpus). Sign
+    bits come from md5-derived INTEGER hyperplanes over
+    floor(x*1000+0.5)-quantized embeddings, so the band keys are exact
+    int64 in both engines and the DuckDB oracle reproduces them
+    bit-for-bit."""
+    return (sim_op.ann_lsh_candidates(_emb(spark, sf_dir), probe_max_id=20,
+                                      band_bits=LSH_ORACLE_BAND_BITS)
             .orderBy("probe_id", "vec_id"))
 
 
@@ -988,7 +997,7 @@ WITH e AS (
   FROM embeddings
 ),
 q AS (
-  SELECT vec_id, v,
+  SELECT vec_id,
          list_transform(v, x -> floor(x * 1000.0 + 0.5)::BIGINT) AS qv
   FROM e
 ),
@@ -1000,31 +1009,43 @@ sums AS (
                              || (i-1)::VARCHAR), 1, 8))::BIGINT
                             % {sim_op.PLANE_MOD}) - 1000))),
            (a, b) -> a + b) AS s
-  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {sim_op.N_PLANES - 1})) AS p)
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0,
+    {sim_op.LSH_BANDS * LSH_ORACLE_BAND_BITS - 1})) AS p)
 ),
-buckets AS (
-  SELECT vec_id,
+bands0 AS (
+  SELECT vec_id, p // {LSH_ORACLE_BAND_BITS} AS band,
          sum(CASE WHEN s > 0
-                  THEN (1::BIGINT << ({sim_op.N_PLANES - 1} - p))
-                  ELSE 0 END)::BIGINT AS bucket
-  FROM sums GROUP BY vec_id
+                  THEN (1::BIGINT << ({LSH_ORACLE_BAND_BITS - 1}
+                                      - (p % {LSH_ORACLE_BAND_BITS})))
+                  ELSE 0 END)::BIGINT AS key
+  FROM sums GROUP BY vec_id, p // {LSH_ORACLE_BAND_BITS}
 ),
-be AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN e USING (vec_id)),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, key)
+          <= {dedup_op.MAX_BAND_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+  FROM bands p JOIN bands c
+    ON p.band = c.band AND p.key = c.key AND p.vec_id < c.vec_id
+),
 pairs AS (
-  SELECT p.vec_id AS probe_id, c.vec_id, p.bucket,
+  SELECT cand.probe_id, cand.vec_id,
          round(
            list_reduce(list_prepend(0.0,
-             list_transform(generate_series(1, len(p.v)),
-                            i -> p.v[i] * c.v[i])), (a,b) -> a + b)
+             list_transform(generate_series(1, len(pe.v)),
+                            i -> pe.v[i] * ce.v[i])), (a,b) -> a + b)
            / (sqrt(list_reduce(list_prepend(0.0,
-                list_transform(p.v, x -> x*x)), (a,b) -> a + b))
+                list_transform(pe.v, x -> x*x)), (a,b) -> a + b))
               * sqrt(list_reduce(list_prepend(0.0,
-                list_transform(c.v, x -> x*x)), (a,b) -> a + b))), 6) AS cos
-  FROM be p JOIN be c ON p.bucket = c.bucket AND p.vec_id < c.vec_id
+                list_transform(ce.v, x -> x*x)), (a,b) -> a + b))), 6) AS cos
+  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+            JOIN e ce ON ce.vec_id = cand.vec_id
 )"""
 
     sql["ann_lsh"] = _LSH_CTES + """
-SELECT probe_id, vec_id, bucket, cos FROM pairs
+SELECT probe_id, vec_id, cos FROM pairs
 WHERE probe_id <= 20 ORDER BY probe_id, vec_id"""
 
     sql["dedup_embedding"] = _LSH_CTES + """

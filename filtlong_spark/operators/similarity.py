@@ -1,17 +1,29 @@
 """Similarity search over an embedding column (array<float>).
 
-- brute-force cosine: probe set x corpus, dot products via F.zip_with +
-  F.aggregate (JVM-side fold in index order — deterministic summation).
-  The probe side is tiny -> broadcast, so the "scan" side streams with no
-  shuffle: at 100 TB this is one pass over the corpus.
-- LSH-bucketed variant (random-hyperplane signs from the md5-derived
-  deterministic planes) restricts candidates to matching sign-buckets —
-  the scale path when the probe set is large.
+- brute-force cosine: probe set x corpus, broadcast numpy matmul per
+  Arrow batch. The probe side is tiny -> broadcast, so the "scan" side
+  streams with no shuffle: at 100 TB this is one pass over the corpus.
+- BANDED sign-LSH (random-hyperplane signs from md5-derived deterministic
+  planes): 64 planes grouped into 4 bands x 16 bits; a candidate pair is
+  any two vectors agreeing on ALL 16 sign bits of at least one band
+  (minhash-LSH banding applied to hyperplane signatures). Each band has a
+  2^16 key universe and hot buckets are capped (dedup._cap_buckets), so
+  the self-join is never quadratic-in-expectation — the round-2 design
+  (one 8-bit bucket universe, ~N^2/512 expected join size) is gone.
+
+Cosines are computed in the ORACLE's operation order — dot product of the
+raw doubles divided by the product of the norms — then rounded to 6dp.
+numpy's matmul may still sum in a different order than DuckDB's
+left-to-right list_reduce fold, so exact equality relies on the 6dp
+rounding absorbing the final-ulp difference (a value landing exactly on a
+rounding boundary could in principle diverge; none do in the testdata).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .dedup import MAX_BAND_BUCKET, _cap_buckets
 
 
 def _as_double(col):
@@ -27,6 +39,14 @@ def dot(a, b):
 def norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _safe_norms(M):
+    """Row L2 norms with zero clamped to 1 (a zero vector then yields
+    cos = 0 instead of NaN)."""
+    import numpy as np
+    n = np.linalg.norm(M, axis=1)
+    return np.where(n == 0.0, 1.0, n)
 
 
 def cosine_pairs(emb: DataFrame, probe_max_id: int,
@@ -53,19 +73,22 @@ def cosine_pairs(emb: DataFrame, probe_max_id: int,
     spark = emb.sparkSession
     probes = (emb.filter(F.col("vec_id") <= probe_max_id)
               .select("vec_id", "embedding").collect())
+    if not probes:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, cos double")
     pids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
     P = np.array([r["embedding"] for r in probes], dtype=np.float64)
-    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((pids, Pn))
+    pnorm = _safe_norms(P)
+    bc = spark.sparkContext.broadcast((pids, P, pnorm))
 
     def mapper(batches):
-        b_pids, b_pn = bc.value
+        b_pids, b_p, b_pnorm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            sims = En @ b_pn.T                       # (batch, n_probes)
+            # oracle op order: dot of RAW vectors / product of norms
+            sims = (E @ b_p.T) / (_safe_norms(E)[:, None] * b_pnorm[None, :])
             vids = pdf["vec_id"].to_numpy()
             mask = b_pids[None, :] < vids[:, None]   # probe_id < vec_id
             r, c = np.nonzero(mask)
@@ -91,7 +114,9 @@ def cosine_topk(emb: DataFrame, probe_max_id: int, k: int) -> DataFrame:
             .select("probe_id", "vec_id", "cos", "rank"))
 
 
-N_PLANES = 8      # 2^8 = 256 sign buckets
+N_PLANES = 64     # total hyperplanes
+LSH_BANDS = 4     # 4 bands x 16 sign bits -> 2^16 keys per band
+BAND_BITS = N_PLANES // LSH_BANDS
 PLANE_MOD = 2001  # integer weights in [-1000, 1000]
 QUANT = 1000.0    # embedding quantization step for exact integer signs
 
@@ -112,21 +137,34 @@ def plane_matrix(dim: int, n_planes: int = N_PLANES):
     return w
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, bucket, en): sign-LSH bucket + L2-normalized embedding,
-    computed in ONE numpy mapInPandas pass (a BLAS int matmul per Arrow
-    batch) — no Catalyst HOFs, no per-element interpretation. Embeddings
-    are quantized floor(x*1000 + 0.5) so the plane dot products are exact
-    int64 in every engine."""
+def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
+                  band_bits: int = BAND_BITS) -> DataFrame:
+    """(vec_id, band, key): banded sign-LSH signature — band b's key packs
+    sign bits of planes [b*band_bits, (b+1)*band_bits), MSB-first. ONE
+    numpy mapInPandas pass (a BLAS int matmul per Arrow batch); the
+    exchange then carries only (vec_id, band, key) — ~24 bytes/row, the
+    embedding itself never rides the band shuffle. Embeddings are
+    quantized floor(x*1000 + 0.5) so the plane dot products are exact
+    int64 in every engine (mirrored in the DuckDB oracle)."""
     import numpy as np
     import pandas as pd
 
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
 
-    dim = len(emb.select("embedding").first()["embedding"])
+    spark = emb.sparkSession
+    schema = "vec_id long, band int, key long"
+    first = emb.select("embedding").first()
+    if first is None:
+        return spark.createDataFrame([], schema)
+    dim = len(first["embedding"])
+    n_planes = n_bands * band_bits
     w = plane_matrix(dim, n_planes)
-    bits = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    # per-band MSB-first packing: plane p contributes bit (band_bits-1 - p%band_bits)
+    pack = np.zeros((n_planes, n_bands), dtype=np.int64)
+    for p in range(n_planes):
+        pack[p, p // band_bits] = 1 << (band_bits - 1 - p % band_bits)
+    band_ids = np.arange(n_bands, dtype=np.int32)
 
     def mapper(batches):
         for pdf in batches:
@@ -134,55 +172,88 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
                 continue
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
             qE = np.floor(E * QUANT + 0.5).astype(np.int64)
-            bucket = ((qE @ w.T) > 0).astype(np.int64) @ bits
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "bucket": bucket,
-                                "en": list(En)})
+            bits = ((qE @ w.T) > 0).astype(np.int64)   # (batch, n_planes)
+            keys = bits @ pack                         # (batch, n_bands)
+            vids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(vids, n_bands),
+                "band": np.tile(band_ids, len(vids)),
+                "key": keys.reshape(-1)})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        mapper, schema="vec_id long, bucket long, en array<double>")
+    return emb.select("vec_id", "embedding").mapInPandas(mapper, schema)
 
 
-def _bucket_pair_cosines(joined: DataFrame) -> DataFrame:
-    """(probe_id, vec_id, bucket, pn, en) -> + rounded cosine, via one
-    vectorized numpy pass over the joined candidates."""
+def _pair_cosines(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(probe_id, vec_id) candidate pairs -> + cosine: re-join the RAW
+    embeddings on both sides (two equi-joins on vec_id; AQE broadcasts
+    when the pair set is small) and compute cos = dot(raw)/(|p|*|c|) in
+    one vectorized numpy pass — the oracle's operation order — rounded
+    to 6dp JVM-side (Spark/DuckDB share HALF_UP)."""
     import numpy as np
     import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    e = emb.select("vec_id", "embedding")
+    j = (pairs
+         .join(e.select(F.col("vec_id").alias("probe_id"),
+                        F.col("embedding").alias("pv")), "probe_id")
+         .join(e.select("vec_id", F.col("embedding").alias("cv")), "vec_id"))
 
     def cos_mapper(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            P = np.array(list(pdf["pn"]), dtype=np.float64)
-            E = np.array(list(pdf["en"]), dtype=np.float64)
-            cos = np.einsum("ij,ij->i", P, E)
+            P = np.array(list(pdf["pv"]), dtype=np.float64)
+            C = np.array(list(pdf["cv"]), dtype=np.float64)
+            cos = (np.einsum("ij,ij->i", P, C)
+                   / (_safe_norms(P) * _safe_norms(C)))
             yield pd.DataFrame({"probe_id": pdf["probe_id"].to_numpy(),
                                 "vec_id": pdf["vec_id"].to_numpy(),
-                                "bucket": pdf["bucket"].to_numpy(),
                                 "cos": cos})
 
-    pairs = joined.select("probe_id", "vec_id", "bucket", "pn", "en") \
-        .mapInPandas(cos_mapper,
-                     schema="probe_id long, vec_id long, bucket long, "
-                            "cos double")
-    # round JVM-side like cosine_pairs (Spark/DuckDB share HALF_UP)
-    return pairs.withColumn("cos", F.round("cos", 6))
+    out = j.select("probe_id", "vec_id", "pv", "cv").mapInPandas(
+        cos_mapper, schema="probe_id long, vec_id long, cos double")
+    return out.withColumn("cos", F.round("cos", 6))
 
 
-def ann_lsh_candidates(emb: DataFrame, probe_max_id: int) -> DataFrame:
-    """Bucketed ANN: probes join the corpus only within the same sign
-    bucket — a shuffle equi-join on bucket id (no broadcast of the corpus,
-    no cross product; the 100 TB shape when the probe set is too large to
-    broadcast). Cosines for the surviving candidates come from a second
-    vectorized numpy pass, rounded to 6dp for cross-engine determinism."""
-    wb = lsh_buckets(emb)
-    probes = (wb.filter(F.col("vec_id") <= probe_max_id)
-              .select(F.col("vec_id").alias("probe_id"), "bucket",
-                      F.col("en").alias("pn")))
-    joined = (wb.join(probes, "bucket")
-              .filter(F.col("probe_id") < F.col("vec_id")))
-    return _bucket_pair_cosines(joined)
+def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
+                        max_bucket: int | None = MAX_BAND_BUCKET,
+                        n_bands: int = LSH_BANDS,
+                        band_bits: int = BAND_BITS) -> DataFrame:
+    """Distinct (probe_id, vec_id) candidate pairs, probe_id < vec_id,
+    agreeing on at least one capped band. probe_max_id=None -> whole-corpus
+    self-join (dedup); otherwise only probes with vec_id <= probe_max_id.
+    Buckets holding > max_bucket vectors are dropped (hot-bucket guard —
+    a degenerate bucket of templated/zero embeddings can no longer turn
+    the join quadratic; mirrored in the DuckDB oracle). band_bits trades
+    recall radius for selectivity (production default 16; the driver's
+    sf-testdata oracle runs the same path at 6 because the synthetic
+    embeddings carry no near-dups — max pairwise cos ~0.51)."""
+    bands = lsh_band_keys(emb, n_bands, band_bits)
+    bands = _cap_buckets(bands, ["band", "key"], max_bucket)
+    probes = bands.select(F.col("vec_id").alias("probe_id"), "band", "key")
+    if probe_max_id is not None:
+        probes = probes.filter(F.col("probe_id") <= probe_max_id)
+    return (bands.join(probes, ["band", "key"])
+            .filter(F.col("probe_id") < F.col("vec_id"))
+            .select("probe_id", "vec_id")
+            .distinct())
+
+
+def ann_lsh_candidates(emb: DataFrame, probe_max_id: int,
+                       max_bucket: int | None = MAX_BAND_BUCKET,
+                       n_bands: int = LSH_BANDS,
+                       band_bits: int = BAND_BITS) -> DataFrame:
+    """Banded sign-LSH ANN: probes join the corpus only within shared
+    (capped) band buckets — a shuffle equi-join on (band, key), no
+    broadcast of the corpus, no cross product; the 100 TB shape when the
+    probe set is too large to broadcast. Returns (probe_id, vec_id, cos),
+    rounded to 6dp for cross-engine determinism."""
+    cand = lsh_candidate_pairs(emb, probe_max_id, max_bucket,
+                               n_bands, band_bits)
+    return _pair_cosines(emb, cand)
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +310,7 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
             if not len(pdf):
                 continue
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            En = E / _safe_norms(E)[:, None]
             lists = (En @ C.T).argmax(axis=1).astype(np.int64)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
                                 "list_id": lists, "en": list(En)})
@@ -274,19 +345,16 @@ def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
             yield pd.DataFrame({
                 "probe_id": ids,
                 "list_id": order.reshape(-1).astype(np.int64),
-                "pn": [p for p in pdf["en"] for _ in range(order.shape[1])],
             })
 
     probes = (assigned.filter(F.col("vec_id") <= probe_max_id)
               .select("vec_id", "en")
               .mapInPandas(probe_mapper,
-                           schema="probe_id long, list_id long, "
-                                  "pn array<double>"))
-    joined = (assigned.join(probes, "list_id")
-              .filter(F.col("probe_id") != F.col("vec_id"))
-              .withColumnRenamed("list_id", "bucket"))
-    pairs = _bucket_pair_cosines(
-        joined.select("probe_id", "vec_id", "bucket", "pn", "en"))
+                           schema="probe_id long, list_id long"))
+    cand = (assigned.join(probes.select("probe_id", "list_id"), "list_id")
+            .filter(F.col("probe_id") != F.col("vec_id"))
+            .select("probe_id", "vec_id"))
+    pairs = _pair_cosines(emb, cand)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"),
                                                F.asc("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -294,19 +362,18 @@ def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
             .select("probe_id", "vec_id", "cos", "rank"))
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine NEAR-DUP dedup over the whole corpus: bucket
-    SELF-join (every vector probes its own sign bucket — still never
-    all-pairs) + exact cosine filter on candidates. Returns (probe_id,
-    vec_id, cos) with probe_id < vec_id, cos >= threshold. Near-identical
-    vectors collide in all sign buckets with prob ~(1 - theta/pi)^8, so
-    recall on true near-dups is ~1 while the join size is ~N^2/256 per
-    skew-free bucket load."""
-    wb = lsh_buckets(emb)
-    probes = wb.select(F.col("vec_id").alias("probe_id"), "bucket",
-                       F.col("en").alias("pn"))
-    joined = (wb.join(probes, "bucket")
-              .filter(F.col("probe_id") < F.col("vec_id")))
-    return (_bucket_pair_cosines(joined)
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                   max_bucket: int | None = MAX_BAND_BUCKET,
+                   n_bands: int = LSH_BANDS,
+                   band_bits: int = BAND_BITS) -> DataFrame:
+    """Embedding-cosine NEAR-DUP dedup over the whole corpus: banded
+    sign-LSH SELF-join (capped buckets — never all-pairs, never a hot
+    degenerate bucket) + exact cosine filter on candidates. Returns
+    (probe_id, vec_id, cos) with probe_id < vec_id, cos >= threshold.
+    Near-identical vectors (theta ~ 0) agree on a full 16-bit band with
+    prob ~(1-theta/pi)^16 per band, any of 4 bands -> recall ~1 on true
+    near-dups, while unrelated vectors almost never share a band."""
+    cand = lsh_candidate_pairs(emb, None, max_bucket, n_bands, band_bits)
+    return (_pair_cosines(emb, cand)
             .filter(F.col("cos") >= threshold)
             .select("probe_id", "vec_id", "cos"))

@@ -23,13 +23,13 @@ def test_lsh_candidates_subset_and_pruned(spark):
     cand = sim.ann_lsh_candidates(emb, probe_max_id=199).collect()
     cand_pairs = {(r["probe_id"], r["vec_id"]) for r in cand}
     assert cand_pairs <= brute          # candidates are real pairs
-    assert 0 < len(cand_pairs) < len(brute) / 4   # bucketing prunes hard
+    assert 0 < len(cand_pairs) < len(brute) / 4   # banding prunes hard
 
 
 def test_lsh_recall_on_near_duplicates(spark):
-    """Planted near-dups (cos ~ 1) must land in the same sign bucket:
-    recall over the near-dup pairs should be ~100% (sign-LSH collides
-    vectors with tiny angular distance with prob ~ (1 - theta/pi)^8)."""
+    """Planted near-dups (cos ~ 1) must agree on at least one full band:
+    per 16-bit band collision prob is (1 - theta/pi)^16 ~ 1 for tiny
+    theta, and any of the 4 bands suffices -> recall ~100%."""
     emb = _emb_df(spark)
     cand = sim.ann_lsh_candidates(emb, probe_max_id=99).collect()
     got = {(r["probe_id"], r["vec_id"]) for r in cand}
@@ -42,12 +42,50 @@ def test_lsh_recall_on_near_duplicates(spark):
         assert by_pair[p] > 0.99
 
 
-def test_lsh_buckets_deterministic(spark):
+def test_lsh_band_keys_deterministic(spark):
     emb = _emb_df(spark, n=50)
-    a = {(r["vec_id"], r["bucket"]) for r in sim.lsh_buckets(emb).collect()}
-    b = {(r["vec_id"], r["bucket"]) for r in sim.lsh_buckets(emb).collect()}
+    a = {(r["vec_id"], r["band"], r["key"])
+         for r in sim.lsh_band_keys(emb).collect()}
+    b = {(r["vec_id"], r["band"], r["key"])
+         for r in sim.lsh_band_keys(emb).collect()}
     assert a == b
-    assert all(0 <= bk < 2 ** sim.N_PLANES for _, bk in a)
+    assert len(a) == 50 * sim.LSH_BANDS
+    assert all(0 <= k < 2 ** sim.BAND_BITS for _, _, k in a)
+
+
+def test_lsh_empty_and_zero_vector_guards(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert sim.lsh_band_keys(empty).count() == 0
+    assert sim.cosine_pairs(empty, probe_max_id=10, threshold=0.0).count() == 0
+    # a zero vector must not produce NaN cosines (norm clamped to 1 -> cos 0)
+    rows = [(0, [0.0] * 16), (1, [1.0] + [0.0] * 15), (2, [1.0] + [0.0] * 15)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.cosine_pairs(emb, probe_max_id=2, threshold=-1.0).collect()
+    assert all(r["cos"] == r["cos"] for r in out)  # no NaN
+    by = {(r["probe_id"], r["vec_id"]): r["cos"] for r in out}
+    assert by[(0, 1)] == 0.0 and by[(1, 2)] == 1.0
+
+
+def test_hot_bucket_cap_on_10k_corpus(spark):
+    """9k identical (templated) vectors + 1k random: the identical
+    cluster shares every band key and blows the bucket cap, so its
+    buckets are DROPPED — the self-join can never go quadratic (without
+    the cap the cluster alone yields ~9000^2/2 = 40.5M pairs)."""
+    import pyspark.sql.functions as F
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=16)
+    rows = [(i, [float(x) for x in v]) for i in range(9000)]
+    base = rng.normal(size=(1000, 16))
+    rows += [(9000 + i, [float(x) for x in base[i]]) for i in range(1000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from filtlong_spark.operators.dedup import MAX_BAND_BUCKET, _cap_buckets
+    capped = _cap_buckets(sim.lsh_band_keys(emb), ["band", "key"],
+                          MAX_BAND_BUCKET)
+    max_bucket = (capped.groupBy("band", "key").count()
+                  .agg(F.max("count")).collect()[0][0])
+    assert max_bucket is not None and max_bucket <= MAX_BAND_BUCKET
+    n_cand = sim.lsh_candidate_pairs(emb, None).count()
+    assert n_cand < 500_000
 
 
 def test_near_dup_pairs_whole_corpus(spark):
