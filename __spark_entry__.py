@@ -906,7 +906,7 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id, b,
-         CASE WHEN (('0x' || substr(md5(tok), 1, 4))::BIGINT >> b) & 1 = 1
+         CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> b) & 1 = 1
               THEN 1 ELSE -1 END AS vote
   FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.SIMHASH_BITS - 1})) AS b)
 ),
@@ -923,7 +923,7 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id, b,
-         CASE WHEN (('0x' || substr(md5(tok), 1, 4))::BIGINT >> b) & 1 = 1
+         CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> b) & 1 = 1
               THEN 1 ELSE -1 END AS vote
   FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {dedup_op.SIMHASH_BITS - 1})) AS b)
 ),

@@ -258,21 +258,31 @@ def dedup_assign(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .withColumn("is_dup", F.col("rep_id") != F.col("doc_id")))
 
 
-SIMHASH_BITS = 16
-SIMHASH_BANDS = 4   # bit-sampling LSH: 4 bands x 4 bits
-SIMHASH_MAX_DIST = 1  # 16-bit toy width -> tight radius
+SIMHASH_BITS = 60     # production width: first 15 md5 hex chars -> exact
+SIMHASH_BANDS = 4     # BIGINT in both engines; 4 bands x 15 bits
+SIMHASH_MAX_DIST = 3  # any d<=3 pair must agree on >=1 band (pigeonhole)
 
 
 def simhash_pairs(docs: DataFrame,
                   max_dist: int = SIMHASH_MAX_DIST,
                   max_bucket: int | None = MAX_BAND_BUCKET) -> DataFrame:
-    """SimHash near-duplicate PAIRS: bit-sampling LSH over the 16-bit
-    fingerprints (4 bands x 4 bits — two docs within hamming distance 3
-    must agree on at least one band), then the exact hamming check
-    bit_count(a XOR b) <= max_dist on candidates only. The join is a
-    banded self-equi-join, never all-pairs: the 100 TB-safe shape,
-    identical in spirit to the minhash LSH band join."""
-    fps = simhash(docs)
+    """SimHash near-duplicate PAIRS: bit-sampling LSH over the 60-bit
+    fingerprints (4 bands x 15 bits — two docs within hamming distance 3
+    must agree on at least one band, since 3 flipped bits touch at most 3
+    bands), then the exact hamming check bit_count(a XOR b) <= max_dist
+    on candidates only. The join is a banded self-equi-join, never
+    all-pairs, with a 2^15 key universe per band and the hot-bucket cap
+    on top — at real corpus size band buckets stay small instead of
+    collapsing onto 16 keys (the round-2 toy width's failure mode)."""
+    return simhash_band_pairs(simhash(docs), max_dist, max_bucket)
+
+
+def simhash_band_pairs(fps: DataFrame,
+                       max_dist: int = SIMHASH_MAX_DIST,
+                       max_bucket: int | None = MAX_BAND_BUCKET
+                       ) -> DataFrame:
+    """Banded near-dup join over precomputed (doc_id, simhash)
+    fingerprints (see simhash_pairs for the semantics)."""
     band_w = SIMHASH_BITS // SIMHASH_BANDS
     bands = fps.select(
         "doc_id", "simhash",
@@ -283,10 +293,6 @@ def simhash_pairs(docs: DataFrame,
             for b in range(SIMHASH_BANDS)])).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
-    # NOTE on widths: 16-bit simhash (this sandbox's oracle-friendly toy
-    # width) gives only 16 values per 4-bit band — production uses 64-bit
-    # fingerprints with 16-bit bands; the bucket cap below is the guard
-    # either way.
     bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -302,21 +308,24 @@ def simhash_pairs(docs: DataFrame,
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 16-bit simhash — bit b of md5's first 16 bits per
-    token votes +1/-1 weighted by token multiplicity; fingerprint bit = 1
-    iff the vote sum > 0. Explode tokens x bits stays JVM-side."""
+    """(doc_id, simhash): 60-bit simhash — bit b of md5's first 60 bits
+    per token votes +1/-1 weighted by token multiplicity; fingerprint
+    bit = 1 iff the vote sum > 0. All JVM-side: tokens collapse to
+    (doc_id, h60, cnt) first (one partial+final agg — web tokens repeat
+    heavily, so the 60 per-bit vote aggregates then run over distinct
+    hashes, not token occurrences), weighted votes in a second small
+    agg. Integer votes -> identical values in the DuckDB oracle."""
     toks = docs.select(
         "doc_id",
         F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"))
-    h16 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4),
+    h60 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
                  16, 10).cast("long")
-    # 16 conditional-sum aggregates in ONE groupBy instead of a 16-fold
-    # bit-explosion: no row blowup, single shuffle on doc_id
-    toks = toks.select("doc_id", h16.alias("h16"))
-    votes = [F.sum(F.expr(f"CASE WHEN (shiftright(h16, {b}) & 1) = 1 "
-                          f"THEN 1 ELSE -1 END")).alias(f"v{b}")
+    cnt = (toks.select("doc_id", h60.alias("h60"))
+           .groupBy("doc_id", "h60").agg(F.count("*").alias("c")))
+    votes = [F.sum(F.expr(f"CASE WHEN (shiftright(h60, {b}) & 1) = 1 "
+                          f"THEN c ELSE -c END")).alias(f"v{b}")
              for b in range(SIMHASH_BITS)]
-    wide = toks.groupBy("doc_id").agg(*votes)
+    wide = cnt.groupBy("doc_id").agg(*votes)
     fp = None
     for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0,

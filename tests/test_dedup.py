@@ -39,14 +39,46 @@ def test_jaccard_hot_shingle_capped(spark):
 
 def test_simhash_pairs_find_planted_near_dups(spark):
     base = ("the quick brown fox jumps over the lazy dog while the "
-            "fast sort joins the hash table rows " * 3)
+            "fast sort joins the hash table rows and the merge scan "
+            "filters the wide column batch " * 3)
     rows = [(1, base), (2, base + " dup"),     # near-identical
             (3, "entirely different words populate this other document "
                 "about streams windows and aggregations " * 3)]
-    out = dedup.simhash_pairs(_docs(spark, rows), max_dist=2).collect()
+    out = dedup.simhash_pairs(_docs(spark, rows), max_dist=3).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
-    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_width_survives_100k_corpus(spark):
+    """At the production 60-bit width, a 100k-doc corpus spreads over the
+    2^15-key band universe: band buckets stay far below the hot-bucket
+    cap, so candidates are NOT silently dropped (the round-2 16-bit toy
+    width collapsed every band onto 16 keys and the cap ate them all)."""
+    import pyspark.sql.functions as F
+    # synthetic fingerprints drawn uniformly from 60 bits: band keys are
+    # then uniform over 2^15, the distribution a healthy simhash yields
+    fps = (spark.range(100_000).toDF("doc_id")
+           .withColumn("simhash",
+                       F.abs(F.xxhash64(F.col("doc_id").cast("string")))
+                       % F.lit(1 << dedup.SIMHASH_BITS))
+           # plant one near-dup of doc 0: flip the lowest simhash bit
+           .union(spark.range(100_000, 100_001).toDF("doc_id")
+                  .withColumn("simhash",
+                              (F.abs(F.xxhash64(F.lit("0")))
+                               % F.lit(1 << dedup.SIMHASH_BITS))
+                              .bitwiseXOR(F.lit(1)))))
+    band_w = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
+    bands = fps.select("doc_id", *[
+        (F.shiftright("simhash", b * band_w)
+         .bitwiseAND(F.lit((1 << band_w) - 1))).alias(f"k{b}")
+        for b in range(dedup.SIMHASH_BANDS)])
+    max_bucket = max(
+        bands.groupBy(f"k{b}").count().agg(F.max("count")).collect()[0][0]
+        for b in range(dedup.SIMHASH_BANDS))
+    assert max_bucket <= dedup.MAX_BAND_BUCKET  # nothing gets capped away
+    out = dedup.simhash_band_pairs(fps, max_dist=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(0, 100_000)}
 
 
 def test_connected_components_chain_and_cluster(spark):
