@@ -82,6 +82,27 @@ def _check_resume_config(cfg: FilterConfig, committed: dict) -> None:
             "checkpoint_dir or pass resume=False to re-score")
 
 
+def _combine_stats(part_rows) -> dict:
+    """Combine per-language-group aggregates into the global E1 stats.
+    min/max/sum/count combine exactly; sigma comes from the moment sums
+    and is consumed only by normalize()'s sigma<=0 degenerate check."""
+    import math
+    rows = [r for r in part_rows if r["n_docs"]]
+    n = sum(r["n_docs"] for r in rows)
+    if n == 0:
+        return {"min_q": None, "max_q": None, "mu": None, "sigma": None,
+                "passed_chars": 0}
+    min_q = min(r["min_q"] for r in rows if r["min_q"] is not None)
+    max_q = max(r["max_q"] for r in rows if r["max_q"] is not None)
+    sum_q = sum(r["sum_q"] or 0.0 for r in rows)
+    sum_q2 = sum(r["sum_q2"] or 0.0 for r in rows)
+    mu = sum_q / n
+    sigma = math.sqrt(max(sum_q2 / n - mu * mu, 0.0))
+    passed = sum(int(r["passed_chars"] or 0) for r in rows)
+    return {"min_q": min_q, "max_q": max_q, "mu": mu, "sigma": sigma,
+            "passed_chars": passed}
+
+
 def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                ref_pages: DataFrame | None = None,
                checkpoint_dir: str | None = None,
@@ -112,6 +133,14 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         valid = ing.valid.observe(
             obs, F.sum(F.length("text")).alias("total_chars"),
             F.count(F.lit(1)).alias("n_docs"))
+        # small inputs arrive as fewer splits than cores (one ~16 MB file
+        # at bench SF) and would run the CPU-heavy Python scoring stage
+        # on a single task; fan them out first. At corpus scale the
+        # source has >> defaultParallelism splits, so this is a no-op —
+        # no extra shuffle of text is ever paid where it would hurt.
+        par = spark.sparkContext.defaultParallelism
+        if ing.valid.rdd.getNumPartitions() < par:
+            valid = valid.repartition(par)
 
         if cfg.mode == "bigram_lm" and cfg.lm_strategy == "distributed":
             # LM scale path: token-grain Catalyst joins against the count
@@ -137,9 +166,25 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
     lang_rejected = reads2.filter(~F.col("lang_ok"))
     reads2 = reads2.filter(F.col("lang_ok"))
 
-    # E1 stats + the budget's passed-chars sum: ONE aggregate job over the
-    # committed set (column-pruned parquet read: mean_q/n_chars only)
-    stats = reads2.agg(*normalize_op.stats_aggs()).collect()[0]
+    # E1 stats + the budget's passed-chars sum + the per-language-partition
+    # lineage counters: ONE aggregate job over the committed set (grouped
+    # by lang_pred — a handful of rows — then combined driver-side;
+    # column-pruned parquet read). min/max/sums combine exactly across
+    # groups; sigma is derived from (sum, sum_sq, n) and only ever feeds
+    # the sigma<=0 degenerate check, never a score (normalize() scales by
+    # min/max — the closed form of the z-score scaling).
+    part_rows = (reads2.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(F.col("hard_passed"), 1).otherwise(0))
+        .alias("hard_passed_docs"),
+        F.min("mean_q").alias("min_q"), F.max("mean_q").alias("max_q"),
+        F.sum("mean_q").alias("sum_q"),
+        F.sum(F.col("mean_q") * F.col("mean_q")).alias("sum_q2"),
+        F.sum(F.when(F.col("hard_passed"), F.col("n_chars")))
+        .alias("passed_chars"),
+    ).collect())
+    stats = _combine_stats(part_rows)
 
     normalized = normalize_op.normalize(reads2, cfg, stats=stats)
     labeled = budget_op.apply_budget(normalized, cfg, total_input_chars,
@@ -157,15 +202,9 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
     }
     if not resumed:
         # per-partition lineage rows (north_rule): counters per language
-        # partition of the committed snapshot — one column-pruned aggregate
-        # over the metrics-only parquet (on a cluster these are the
-        # Iceberg partition-level counters)
-        part_rows = (reads2.groupBy("lang_pred")
-                     .agg(F.count("*").alias("n_docs"),
-                          F.sum("n_chars").alias("chars"),
-                          F.sum(F.when(F.col("hard_passed"), 1).otherwise(0))
-                          .alias("hard_passed_docs"))
-                     .collect())
+        # partition of the committed snapshot — already computed by the
+        # shared stats job above (on a cluster these are the Iceberg
+        # partition-level counters)
         metrics["partitions"] = {
             str(r["lang_pred"]): {"n_docs": r["n_docs"],
                                   "chars": int(r["chars"] or 0),
