@@ -25,12 +25,18 @@ from ..operators import normalize as normalize_op
 
 @dataclass
 class FastxResult:
-    kept: DataFrame          # ordered survivors with seq/qual
+    kept: DataFrame          # globally ordered survivors with seq/qual
     reads2: DataFrame        # post-scrub scored set with passed labels
     total_bases: int
     target: int | None
     any_fasta: bool
     any_fastq: bool
+    # same survivors WITHOUT the global orderBy baked in: the distributed
+    # sink (write_fastx) range-partitions + sorts within tasks itself, so
+    # consuming `kept` there would pay the range exchange + sort twice.
+    # Ordering is a consumer choice, as in the web pipeline's
+    # output_ordering='partitioned' path (plans/pipeline.py).
+    kept_unordered: DataFrame | None = None
 
 
 def build_kmer_set(spark: SparkSession, ref_reads: DataFrame,
@@ -134,16 +140,17 @@ def run_filtlong(spark: SparkSession, reads: DataFrame, cfg: FilterConfig,
         F.substring(F.col(c), F.col("child_start") + 1,
                     F.col("child_end") - F.col("child_start"))
     ).otherwise(F.col(c))
-    kept = (labeled.filter(F.col("passed"))
-            .join(src, "parent_name")
-            .withColumn("seq", sub("seq"))
-            .withColumn("qual", sub("qual"))
-            .orderBy("file", "rec_idx", "child_start")
-            .select("name", "comment", "seq", "qual", "n_chars", "mean_q",
-                    "window_q", "file", "rec_idx", "child_start"))
+    kept_unordered = (labeled.filter(F.col("passed"))
+                      .join(src, "parent_name")
+                      .withColumn("seq", sub("seq"))
+                      .withColumn("qual", sub("qual"))
+                      .select("name", "comment", "seq", "qual", "n_chars",
+                              "mean_q", "window_q", "file", "rec_idx",
+                              "child_start"))
+    kept = kept_unordered.orderBy("file", "rec_idx", "child_start")
     return FastxResult(kept=kept, reads2=labeled, total_bases=total_bases,
                        target=target, any_fasta=any_fasta,
-                       any_fastq=any_fastq)
+                       any_fastq=any_fastq, kept_unordered=kept_unordered)
 
 
 def to_fastx_lines(result: FastxResult) -> list[str]:
@@ -170,6 +177,19 @@ def _format_col(as_fasta: bool) -> "F.Column":
                     F.lit("\n+\n"), F.col("qual"))
 
 
+def sink_df(result: FastxResult, n_partitions: int | None = None):
+    """The distributed sink's plan: range-partition + in-task sort over
+    the UNORDERED survivors — exactly one exchange and one sort (asserted
+    in tests); consuming result.kept here would re-pay its global sort's
+    range exchange before re-partitioning."""
+    kept = (result.kept_unordered
+            if result.kept_unordered is not None else result.kept)
+    n = n_partitions or kept.sparkSession.sparkContext.defaultParallelism
+    return (kept.repartitionByRange(n, "file", "rec_idx")
+            .sortWithinPartitions("file", "rec_idx", "child_start")
+            .select(_format_col(result.any_fasta).alias("value")))
+
+
 def write_fastx(result: FastxResult, out_dir: str,
                 n_partitions: int | None = None) -> None:
     """Distributed A7 sink (the scale rendering of src/main.cpp:263-311):
@@ -180,12 +200,7 @@ def write_fastx(result: FastxResult, out_dir: str,
     parts in filename order reproduces the single-writer stdout
     byte-for-byte (asserted in tests). No survivor ever touches the
     driver."""
-    kept = result.kept
-    n = n_partitions or kept.sparkSession.sparkContext.defaultParallelism
-    (kept.repartitionByRange(n, "file", "rec_idx")
-     .sortWithinPartitions("file", "rec_idx", "child_start")
-     .select(_format_col(result.any_fasta).alias("value"))
-     .write.mode("overwrite").text(out_dir))
+    sink_df(result, n_partitions).write.mode("overwrite").text(out_dir)
 
 
 def read_fastx_output(out_dir: str) -> str:

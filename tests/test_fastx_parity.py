@@ -198,6 +198,25 @@ class TestDistributedSink:
         assert text == "".join(fp.to_fastx_lines(res))
         assert text.startswith(">")
 
+    def test_sink_plan_single_exchange_and_sort(self, spark, assembly):
+        """The sink plan must pay exactly ONE exchange (the range
+        partitioning) and ONE sort (within output tasks): consuming the
+        globally-ordered `kept` here would bake a second range exchange
+        + sort under the repartitionByRange (the round-2 double sort)."""
+        reads = fastx.read_fastx(spark, f"{REF}/test_split.fastq")
+        cfg = FilterConfig(split=25, mode="refset")
+        res = fp.run_filtlong(spark, reads, cfg, assembly=assembly)
+        plan = (fp.sink_df(res, n_partitions=4)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        # the upstream budget window contributes its own exchanges; the
+        # SINK itself must add exactly one range repartition and one sort
+        # (the old plan had Sort x2: global orderBy + sortWithinPartitions)
+        import re
+        n_range = plan.count("RepartitionByExpression")
+        n_sort = len(re.findall(r"\bSort \[", plan))
+        assert n_range == 1, plan
+        assert n_sort == 1, plan
+
     def test_missing_file(self, spark):
         # src/arguments.cpp:310-322 / test/test_error_messages.py:68-88
         with pytest.raises(FileNotFoundError,
