@@ -1,14 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode/feature steps are STUBBED (no image/audio libraries in this
-container — each stub raises NotImplementedError unless the deterministic
-fake is requested), but the Spark-side plumbing is real and tested:
-schemas, Arrow batch shapes, mapInPandas signatures, partitioning.
+What's REAL here (no media library needed):
+- container-header sniffing (PNG IHDR / GIF screen / JPEG SOF markers)
+- full PNG pixel decode: stdlib zlib inflate + scanline unfiltering
+  (filters 0-4), 8-bit depth, gray/RGB(+alpha) — so ``real=True`` image
+  features are computed from ACTUAL pixels for PNG media
+- all Spark-side plumbing: schemas, Arrow batch shapes, mapInPandas
+  signatures, partitioning, the LSH near-dup join downstream
 
-Production swap-in: replace ``_fake_decode_*`` with PIL/librosa/pyav calls
-inside the same mapInPandas mappers — the dataflow (binary column in,
-fixed-size feature array + metadata struct out, map-only, no shuffle)
-does not change.
+Still faked (deterministic, clearly marked): non-PNG pixel decode and
+video frame extraction — this container has no PIL/pyav. Production
+swap-in: replace the fallback in ``decode_image_features`` /
+``frame_sample_stub`` with PIL/pyav calls inside the same mapInPandas
+mappers — the dataflow (binary in, fixed-size feature array out,
+map-only, no shuffle) does not change.
 """
 
 from __future__ import annotations
@@ -50,22 +55,166 @@ def _fake_decode_image(data: bytes) -> list[float]:
     return [b / 255.0 for b in h]
 
 
+def png_decode_pixels(data: bytes):
+    """REAL stdlib-only PNG decode: chunk walk -> zlib-inflate the IDAT
+    stream -> unfilter each scanline (PNG filters 0 None / 1 Sub / 2 Up /
+    3 Average / 4 Paeth). Supports bit depth 8, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace. Returns a uint8
+    numpy array of shape (height, width, channels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    i = 8
+    w = h = ch = None
+    idat = b""
+    while i + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[i:i + 8])
+        chunk = data[i + 8:i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ct, _comp, _filt, interlace = struct.unpack(
+                ">II5B", chunk)
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+            if ch is None:
+                raise ValueError(f"unsupported color type {ct}")
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw[pos + 1:pos + 1 + stride],
+                             dtype=np.uint8).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:                       # Up — vectorized
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):               # Sub/Average/Paeth: left-dependent
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def png_encode(pixels, filter_type: int = 0) -> bytes:
+    """Minimal valid PNG writer (fixture/test support for the decoder):
+    8-bit gray/RGB/RGBA, one IDAT, every scanline filtered with
+    ``filter_type`` so tests can exercise each unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]]) \
+            if len(line) > ch else np.zeros_like(line)
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:
+            enc = (line - left) & 0xFF
+        elif filter_type == 2:
+            enc = (line - prev) & 0xFF
+        elif filter_type == 3:
+            enc = (line - (left + prev) // 2) & 0xFF
+        elif filter_type == 4:
+            upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]]) \
+                if len(prev) > ch else np.zeros_like(prev)
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (line - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+    ihdr = struct.pack(">II5B", w, h, 8, ct, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def image_features_from_pixels(px) -> list[float]:
+    """(h, w, ch) pixels -> 16 features: grayscale, nearest-resample to
+    16x16, mean-pool 4x4 blocks, scale to [0,1]. Deterministic, and
+    robust to small pixel noise (so near-identical images land at
+    cos ~ 1 for the LSH near-dup join)."""
+    import numpy as np
+    px = np.asarray(px, dtype=np.float64)
+    gray = px[..., :3].mean(axis=2) if px.shape[2] >= 3 else px[..., 0]
+    h, w = gray.shape
+    ys = (np.arange(16) * h) // 16
+    xs = (np.arange(16) * w) // 16
+    g = gray[np.ix_(ys, xs)]
+    feats = g.reshape(4, 4, 4, 4).mean(axis=(1, 3)) / 255.0
+    return [float(v) for v in feats.reshape(-1)]
+
+
 def decode_image_features(media: DataFrame, real: bool = False) -> DataFrame:
     """(doc_id, features: array<float>) via mapInPandas over binary media.
 
-    ``real=True`` is the production path (PIL etc.) — not available in
-    this container."""
-    if real:
-        raise NotImplementedError(
-            "real image decode requires PIL/torchvision — not in this "
-            "container; the deterministic fake exercises the same plumbing")
-
+    ``real=True``: PNG media is decoded to actual pixels (stdlib zlib,
+    png_decode_pixels) and featurized from them; other containers fall
+    back to the byte-deterministic fake (production swaps the fallback
+    for PIL inside this same mapper)."""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
 
+    def one(data: bytes) -> list[float]:
+        if real and data[:8] == PNG_MAGIC:
+            return image_features_from_pixels(png_decode_pixels(data))
+        return _fake_decode_image(data)
+
     def mapper(batches):
         for pdf in batches:
-            feats = [_fake_decode_image(m) for m in pdf["media"]]
+            feats = [one(bytes(m) if m is not None else b"")
+                     for m in pdf["media"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return media.select("doc_id", "media").mapInPandas(
@@ -140,14 +289,15 @@ def sniff_media_meta(media: DataFrame) -> DataFrame:
         mapper, schema="doc_id long, mime string, width int, height int")
 
 
-def media_near_dups(media: DataFrame, threshold: float = 0.99) -> DataFrame:
-    """End-to-end media dedup: binary -> feature vector (decode step; the
-    fake is byte-deterministic, so identical media always pair at cos 1)
-    -> the SAME sign-LSH bucket self-join as text embeddings
-    (similarity.near_dup_pairs). Swap the decoder for a real CNN/CLIP
+def media_near_dups(media: DataFrame, threshold: float = 0.99,
+                    real: bool = False) -> DataFrame:
+    """End-to-end media dedup: binary -> feature vector (real pixel
+    features for PNG under real=True; byte-deterministic fake otherwise)
+    -> the SAME banded sign-LSH self-join as text embeddings
+    (similarity.near_dup_pairs). Swap the featurizer for a real CNN/CLIP
     embedding and nothing downstream changes."""
     from .similarity import near_dup_pairs
-    feats = decode_image_features(media).select(
+    feats = decode_image_features(media, real=real).select(
         F.col("doc_id").alias("vec_id"),
         F.col("features").alias("embedding"))
     return near_dup_pairs(feats, threshold=threshold)

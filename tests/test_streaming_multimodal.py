@@ -54,10 +54,68 @@ def test_media_schema_and_decode(spark, sf_dir="/root/testdata/sf0.001"):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
-def test_real_decode_is_stubbed(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_features(mm.attach_media_stub(docs), real=True)
+def _checker_pixels(w=32, h=32, noise_seed=None):
+    """8x8-checkerboard RGB image (+ optional tiny noise)."""
+    import numpy as np
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = (((yy // 8) + (xx // 8)) % 2) * 200 + 20
+    px = np.stack([base, base // 2, 255 - base], axis=2).astype(np.uint8)
+    if noise_seed is not None:
+        rng = np.random.default_rng(noise_seed)
+        px = np.clip(px.astype(np.int32)
+                     + rng.integers(-2, 3, size=px.shape), 0, 255
+                     ).astype(np.uint8)
+    return px
+
+
+class TestPngDecode:
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("channels", [1, 3, 4])
+    def test_roundtrip_every_filter(self, filter_type, channels):
+        """Encode with each PNG scanline filter, decode, get the exact
+        pixels back — exercises every unfilter path (None/Sub/Up/
+        Average/Paeth) at every supported channel count."""
+        import numpy as np
+        rng = np.random.default_rng(filter_type * 10 + channels)
+        px = rng.integers(0, 256, size=(13, 9, channels), dtype=np.uint16
+                          ).astype(np.uint8)
+        data = mm.png_encode(px, filter_type=filter_type)
+        out = mm.png_decode_pixels(data)
+        assert out.shape == (13, 9, channels)
+        assert (out == px).all()
+
+    def test_known_pixels(self):
+        import numpy as np
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        px[0, 0] = (255, 0, 0)
+        out = mm.png_decode_pixels(mm.png_encode(px, filter_type=2))
+        assert tuple(out[0, 0]) == (255, 0, 0)
+        assert (out[1:] == 0).all()
+
+    def test_rejects_non_png_and_truncated(self):
+        with pytest.raises(ValueError):
+            mm.png_decode_pixels(b"not a png")
+        with pytest.raises(ValueError):
+            mm.png_decode_pixels(mm.make_png_bytes(4, 4))  # header only
+
+    def test_sniff_agrees_with_decode(self):
+        data = mm.png_encode(_checker_pixels(24, 16))
+        assert mm.sniff_bytes(data) == ("image/png", 24, 16)
+        assert mm.png_decode_pixels(data).shape == (16, 24, 3)
+
+
+def test_real_decode_from_actual_pixels(spark):
+    """real=True featurizes PNG media from DECODED pixels: the Spark
+    features equal the driver-side pixel featurization."""
+    px = _checker_pixels()
+    data = mm.png_encode(px, filter_type=4)
+    media = spark.createDataFrame([(1, "image", data)],
+                                  "doc_id long, kind string, media binary")
+    [row] = mm.decode_image_features(media, real=True).collect()
+    assert row["features"] == pytest.approx(
+        mm.image_features_from_pixels(px))
+    # and the fake would have produced something different
+    assert row["features"] != pytest.approx(mm._fake_decode_image(data))
 
 
 def test_frame_sampling_shape(spark):
@@ -101,4 +159,23 @@ def test_media_near_dups_pipeline(spark):
     pairs = {(r["probe_id"], r["vec_id"]): r["cos"]
              for r in mm.media_near_dups(media).collect()}
     assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_media_near_dups_real_pixels(spark):
+    """real=True end to end: two PNGs whose PIXELS are near-identical
+    (tiny noise) pair at cos ~ 1 through decode -> featurize -> banded
+    LSH join; a structurally different image does not pair."""
+    import numpy as np
+    a = mm.png_encode(_checker_pixels(), filter_type=1)
+    b = mm.png_encode(_checker_pixels(noise_seed=5), filter_type=3)
+    other = mm.png_encode(
+        np.full((32, 32, 3), 7, dtype=np.uint8))
+    rows = [(1, "image", a), (2, "image", b), (3, "image", other)]
+    media = spark.createDataFrame(rows,
+                                  "doc_id long, kind string, media binary")
+    pairs = {(r["probe_id"], r["vec_id"]): r["cos"]
+             for r in mm.media_near_dups(media, threshold=0.999,
+                                         real=True).collect()}
+    assert pairs.get((1, 2), 0.0) >= 0.999
     assert (1, 3) not in pairs and (2, 3) not in pairs
