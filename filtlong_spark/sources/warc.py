@@ -101,9 +101,9 @@ def open_warc(path: str) -> io.BufferedIOBase:
     return open(path, "rb")
 
 
-def parse_warc_file(path: str) -> list[dict]:
-    """WARC file -> pages rows (response records only)."""
-    rows = []
+def iter_warc_pages(path: str):
+    """Yield one pages row dict per response record — streaming, so a
+    1 GB archive never sits in executor memory as a Python list."""
     with open_warc(path) as f:
         for headers, payload in parse_warc(f):
             if headers.get("warc-type") != "response":
@@ -112,20 +112,46 @@ def parse_warc_file(path: str) -> list[dict]:
             if not url:
                 continue
             body, http = _http_body_and_headers(payload)
-            rows.append({
+            yield {
                 "url": url,
                 "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
                 "html": body,
                 "text": extract_text(body.decode("utf-8", "replace")),
                 "lang": http.get("content-language"),
-            })
-    return rows
+            }
 
 
-def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """Distributed WARC scan -> pages DataFrame (one task per file)."""
+def parse_warc_file(path: str) -> list[dict]:
+    """WARC file -> pages rows (fixture-scale convenience; the Spark
+    source streams via iter_warc_pages/page_batches instead)."""
+    return list(iter_warc_pages(path))
+
+
+WARC_BATCH_ROWS = 256
+_PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def page_batches(paths, batch_rows: int = WARC_BATCH_ROWS):
+    """Stream pages from WARC files as bounded pandas batches: at most
+    ``batch_rows`` rows (plus their html bytes) are ever buffered, so
+    executor memory stays flat regardless of archive size."""
     import pandas as pd
+    buf: list[dict] = []
+    for path in paths:
+        for row in iter_warc_pages(path):
+            buf.append(row)
+            if len(buf) >= batch_rows:
+                yield pd.DataFrame(buf, columns=_PAGE_COLS)
+                buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=_PAGE_COLS)
 
+
+def read_warc(spark: SparkSession, paths: str | list[str],
+              batch_rows: int = WARC_BATCH_ROWS) -> DataFrame:
+    """Distributed WARC scan -> pages DataFrame (one task per file —
+    members are gzip-concatenated, not splittable; rows stream out in
+    bounded Arrow batches)."""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
 
@@ -143,10 +169,6 @@ def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
     def mapper(batches):
         for pdf in batches:
-            rows = []
-            for path in pdf["path"]:
-                rows.extend(parse_warc_file(path))
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+            yield from page_batches(pdf["path"], batch_rows)
 
     return files_df.mapInPandas(mapper, schema=PAGES_SCHEMA)

@@ -59,6 +59,25 @@ def test_read_warc_plain_and_gzip(spark, tmp_path):
     assert "the fast sort" in r["text"]
 
 
+def test_warc_streams_bounded_batches(spark, tmp_path):
+    """One file, many records -> MULTIPLE bounded Arrow batches: the
+    parser never accumulates a whole archive in a Python list (a 1 GB
+    .warc.gz can't spike executor memory)."""
+    n = 10
+    data = b"".join(
+        _record(f"https://b.test/{i}", "2024-03-01T12:00:00Z",
+                f"<p>page {i}</p>")
+        for i in range(n))
+    p = tmp_path / "many.warc"
+    p.write_bytes(data)
+    batches = list(warc.page_batches([str(p)], batch_rows=3))
+    assert [len(b) for b in batches] == [3, 3, 3, 1]
+    # and through Spark the same bounded batching yields every row once
+    df = warc.read_warc(spark, str(p), batch_rows=3)
+    assert sorted(r["url"] for r in df.collect()) == sorted(
+        f"https://b.test/{i}" for i in range(n))
+
+
 def test_warc_to_pipeline(spark, tmp_path):
     """WARC straight into the quality filter (the full ingestion story)."""
     from filtlong_spark.config import FilterConfig
