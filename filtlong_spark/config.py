@@ -104,11 +104,13 @@ class FilterConfig:
     # (bounds the broadcast side at web scale; 1 = exact/no pruning)
     lm_min_count: int = 1
 
-    # bigram_lm physical strategy: 'distributed' (token-grain Catalyst
-    # joins against the count tables — no model collect, the 100 TB path)
-    # or 'broadcast' (whole pruned model as a broadcast variable — exact
-    # even for mid-token PII fragments, requires a driver-sized model)
-    lm_strategy: str = "distributed"
+    # bigram_lm physical strategy: 'auto' (pick by the pruned model's
+    # entry count — operators/lm.choose_strategy), 'distributed'
+    # (token-grain Catalyst joins against the count tables — no model
+    # collect, the 100 TB path) or 'broadcast' (whole pruned model as a
+    # broadcast variable — exact even for mid-token PII fragments,
+    # requires a driver-sized model)
+    lm_strategy: str = "auto"
 
     def __post_init__(self) -> None:
         for f in ("min_length", "max_length", "target_chars", "split"):
@@ -164,6 +166,6 @@ class FilterConfig:
             raise ConfigError(f"Error: unknown output_ordering {self.output_ordering!r}")
         if self.lm_min_count < 1:
             raise ConfigError("Error: the value for lm_min_count must be a positive integer")
-        if self.lm_strategy not in ("distributed", "broadcast"):
+        if self.lm_strategy not in ("auto", "distributed", "broadcast"):
             raise ConfigError(f"Error: unknown lm_strategy {self.lm_strategy!r}")
         return self

@@ -72,6 +72,27 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1
     return c1, c2e, total
 
 
+# broadcast budget: a pruned model above this many entries (unigrams +
+# bigrams) stays distributed. ~2M dict entries is tens of MB pickled —
+# comfortably a driver/executor broadcast; beyond it the token-grain
+# join path wins (linear shuffle, zero collect).
+LM_BROADCAST_MAX_ENTRIES = 2_000_000
+
+
+def choose_strategy(ref_pages: DataFrame | None, cfg: FilterConfig,
+                    max_entries: int = LM_BROADCAST_MAX_ENTRIES) -> str:
+    """Resolve lm_strategy='auto': 'broadcast' when the min_count-PRUNED
+    model fits the broadcast budget, else 'distributed'. One small count
+    job over the (build-side) reference corpus — a planning step, like a
+    join-side size estimate."""
+    if ref_pages is None:
+        return "distributed"  # downstream raises the clear error
+    c1, c2e, _ = lm_count_tables(ref_pages, cfg.lm_min_count)
+    one = F.lit(1).alias("one")
+    n_entries = c1.select(one).unionAll(c2e.select(one)).count()
+    return "broadcast" if n_entries <= max_entries else "distributed"
+
+
 def make_token_mapper(cfg: FilterConfig):
     """Stage 1: (url, text) -> token rows with offsets + langid + PII."""
     scoring._register_self_contained_pickling()

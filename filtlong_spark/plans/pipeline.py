@@ -142,10 +142,17 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         if ing.valid.rdd.getNumPartitions() < par:
             valid = valid.repartition(par)
 
-        if cfg.mode == "bigram_lm" and cfg.lm_strategy == "distributed":
+        lm_strategy = None
+        if cfg.mode == "bigram_lm":
+            from ..operators import lm as lm_op
+            lm_strategy = cfg.lm_strategy
+            if lm_strategy == "auto":
+                # planning step: broadcast iff the pruned model fits the
+                # budget (one count job over the build-side ref corpus)
+                lm_strategy = lm_op.choose_strategy(ref_pages, cfg)
+        if lm_strategy == "distributed":
             # LM scale path: token-grain Catalyst joins against the count
             # tables — the model is never collected anywhere
-            from ..operators import lm as lm_op
             scored = lm_op.score_and_scrub_distributed(
                 spark, valid, cfg, ref_pages)
         else:

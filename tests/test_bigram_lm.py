@@ -88,6 +88,30 @@ def test_lm_distributed_no_model_collect(spark):
     assert len(out) == 3 and all(r["n_tokens"] == 1000 for r in out)
 
 
+def test_lm_auto_strategy_switches_on_model_size(spark):
+    """lm_strategy='auto' picks broadcast iff the PRUNED model's entry
+    count fits the configured budget — and the auto-resolved pipeline
+    matches both explicit strategies."""
+    from filtlong_spark.operators import lm as lm_op
+    rows = fx.sort_suite()
+    ref_rows = fx.ref_corpus(noisy=True)
+    ref = fx.to_spark_df(spark, ref_rows)
+    cfg = FilterConfig(min_length=1, mode="bigram_lm", keep_percent=90.0)
+    # tiny fixture model: far under the default budget -> broadcast
+    assert lm_op.choose_strategy(ref, cfg) == "broadcast"
+    # squeeze the budget below the model size -> distributed
+    assert lm_op.choose_strategy(ref, cfg, max_entries=1) == "distributed"
+    assert lm_op.choose_strategy(None, cfg) == "distributed"
+    outs = []
+    for strategy in ("auto", "distributed", "broadcast"):
+        c = FilterConfig(min_length=1, mode="bigram_lm", keep_percent=90.0,
+                         lm_strategy=strategy)
+        res = run_filter(spark, fx.to_spark_df(spark, rows), c,
+                         ref_pages=ref)
+        outs.append(_lm_kept(res))
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+
 def test_lm_min_count_prunes(spark):
     """lm_min_count > 1: rare bigrams paint as unseen (KenLM-style prune),
     identical across both strategies."""
