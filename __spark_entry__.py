@@ -213,9 +213,11 @@ def q_scrub_children(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
-    """A2 analog: deterministic stopword-profile language ID."""
+    """A2 analog: deterministic char-trigram-profile language ID (the
+    textcat/fastText n-gram family; profiles trained from the bundled
+    sample corpus, mirrored as literal tables in the SQL oracle)."""
     d = _docs(spark, sf_dir)
-    st = ts.langid_from_stats(ts.token_stats(d, VOCAB))
+    st = ts.langid_df(d)
     return st.select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")
 
 
@@ -715,18 +717,33 @@ parents AS (
 )
 SELECT * FROM parents UNION ALL SELECT * FROM children ORDER BY child_id"""
 
+    from filtlong_spark import core as _core
+    prof = _core.trigram_profiles()
+    langs = sorted(prof)
     lang_cases = []
-    langs = sorted(ts.LANG_MARKERS)
     for lang in langs:
-        words = ", ".join(f"'{w}'" for w in ts.LANG_MARKERS[lang])
+        tgs = ", ".join("'" + t.replace("'", "''") + "'"
+                        for t in sorted(prof[lang]))
         lang_cases.append(
-            f"len(list_filter({TOKENS_SQL}, t -> t IN ({words}))) AS s_{lang}")
+            f"sum(CASE WHEN tg IN ({tgs}) THEN 1 ELSE 0 END) AS s_{lang}")
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END"
     total = " + ".join(f"s_{l}" for l in langs)
+    coalesced = ", ".join(f"coalesce(s_{l}, 0) AS s_{l}" for l in langs)
     sql["langid"] = f"""
-WITH s AS (SELECT doc_id, {', '.join(lang_cases)} FROM {DOCS})
+WITH lt AS (SELECT doc_id, lower(text) AS lt FROM {DOCS}),
+pos AS (
+  SELECT doc_id, lt,
+         unnest(generate_series(1, greatest(length(lt) - 2, 0))) AS i
+  FROM lt
+),
+tg AS (SELECT doc_id, substr(lt, i, 3) AS tg FROM pos),
+s0 AS (SELECT doc_id, {', '.join(lang_cases)} FROM tg GROUP BY doc_id),
+s AS (
+  SELECT d.doc_id, {coalesced}
+  FROM {DOCS} d LEFT JOIN s0 USING (doc_id)
+)
 SELECT doc_id, {pred} AS lang_pred,
        CASE WHEN ({total}) > 0
             THEN {best}::DOUBLE / ({total}) ELSE 0.0 END AS lang_conf

@@ -321,44 +321,61 @@ def flat_window_ratio(mean: np.ndarray, win: np.ndarray) -> np.ndarray:
     return np.where(mean <= 0.0, 1.0, np.minimum(win / safe, 1.0))
 
 
-def _lang_tables():
-    """(langs, marker_token_list, marker_lang_ids): built lazily because
-    LANG_MARKERS is defined further down this module. Marker sets are
-    DISJOINT across languages (asserted), so one hash-join pass replaces
-    four isin probes."""
-    langs = sorted(LANG_MARKERS)
-    toks, ids = [], []
-    for i, lang in enumerate(langs):
-        for t in sorted(LANG_MARKERS[lang]):
-            toks.append(t)
-            ids.append(i)
-    assert len(set(toks)) == len(toks), "marker sets must be disjoint"
-    return langs, toks, np.array(ids, dtype=np.int64)
+_TRIGRAM_TABLES = None
 
 
-_LANG_TABLES = None
+def _trigram_key(tg: str) -> int:
+    """Pack a 3-char trigram into one int64: 21 bits per codepoint —
+    exact for every Unicode scalar, so integer membership == string
+    membership."""
+    return (ord(tg[0]) << 42) | (ord(tg[1]) << 21) | ord(tg[2])
 
 
-def _predict_lang_batch(tokens_flat, doc_of: np.ndarray,
-                        nd: int) -> tuple[np.ndarray, np.ndarray]:
-    """Batch predict_lang: ONE get_indexer hash-join of the flat tokens
-    against the (small) marker vocabulary, then a bincount per (doc, lang).
-    Ties -> first alphabetical language (identical to the scalar
-    max(sorted(...), key=count))."""
-    global _LANG_TABLES
-    if _LANG_TABLES is None:
-        _LANG_TABLES = _lang_tables()
-    langs, mtoks, mlang = _LANG_TABLES
+def _trigram_tables():
+    """(langs, per-lang sorted int64 key arrays) from the trained
+    profiles — lazy (profiles are defined further down this module)."""
+    prof = trigram_profiles()
+    langs = sorted(prof)
+    keys = []
+    for lang in langs:
+        arr = np.array([_trigram_key(t) for t in prof[lang]],
+                       dtype=np.int64)
+        arr.sort()
+        keys.append(arr)
+    return langs, keys
+
+
+def _text_trigram_keys(text: str) -> np.ndarray:
+    """All overlapping char-trigram keys of lower(text), vectorized:
+    utf-32 view -> three shifted slices packed into int64."""
+    u = np.frombuffer(text.lower().encode("utf-32-le"),
+                      dtype=np.uint32).astype(np.int64)
+    if u.size < 3:
+        return np.zeros(0, dtype=np.int64)
+    return (u[:-2] << 42) | (u[1:-1] << 21) | u[2:]
+
+
+def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch language-ID over raw texts: per doc, count how many of its
+    char-trigram occurrences fall in each language profile (sorted-array
+    membership — one searchsorted per language), argmax with alphabetical
+    tiebreak, 'und' when nothing matches. Mirrors the Catalyst/SQL
+    implementations exactly (integer counts -> identical ratios)."""
+    global _TRIGRAM_TABLES
+    if _TRIGRAM_TABLES is None:
+        _TRIGRAM_TABLES = _trigram_tables()
+    langs, keys = _TRIGRAM_TABLES
     L = len(langs)
+    nd = len(texts)
     per_lang = np.zeros((L, nd), dtype=np.int64)
-    if tokens_flat:
-        import pandas as pd
-        m = pd.Index(mtoks).get_indexer(tokens_flat)
-        hit = m >= 0
-        if hit.any():
-            flat_bin = np.bincount(doc_of[hit] * L + mlang[m[hit]],
-                                   minlength=nd * L)
-            per_lang = flat_bin.reshape(nd, L).T
+    for d, t in enumerate(texts):
+        k = _text_trigram_keys(t or "")
+        if k.size:
+            for li in range(L):
+                kl = keys[li]
+                idx = np.searchsorted(kl, k)
+                idx[idx == kl.size] = 0
+                per_lang[li, d] = int(np.count_nonzero(kl[idx] == k))
     total = per_lang.sum(axis=0)
     best = per_lang.argmax(axis=0)
     pred = np.array(langs, dtype=object)[best]
@@ -367,20 +384,6 @@ def _predict_lang_batch(tokens_flat, doc_of: np.ndarray,
                     per_lang[best, np.arange(nd)] / np.maximum(total, 1),
                     0.0)
     return pred, conf
-
-
-def flat_predict_lang(tokens_flat: list[str],
-                      counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized predict_lang over (flat tokens, per-doc counts)."""
-    counts = np.asarray(counts, dtype=np.int64)
-    doc_of = np.repeat(np.arange(counts.size), counts)
-    return _predict_lang_batch(tokens_flat, doc_of, counts.size)
-
-
-def flat_predict_lang_tb(tb: "TokenBatch",
-                         nd: int) -> tuple[np.ndarray, np.ndarray]:
-    """predict_lang over a TokenBatch (doc_of already materialized)."""
-    return _predict_lang_batch(tb.tokens, tb.doc_of, nd)
 
 
 # ---------------------------------------------------------------------------
@@ -514,31 +517,72 @@ def child_name(url: str, start: int, end: int) -> str:
 # ---------------------------------------------------------------------------
 # Language-ID gate (A2 analog: FASTA/FASTQ format detection + the
 # FASTA-without-reference error, src/main.cpp:92-106).
-# Deterministic stopword-marker profile; fastText is the production slot.
+# Character-trigram profiles (the textcat/fastText n-gram family, tiny):
+# each language's profile is the TOP_K most frequent char trigrams of a
+# bundled sample text, trained deterministically at first use. A document
+# scores one point per language for every trigram occurrence found in
+# that language's profile; argmax wins, alphabetical tiebreak, 'und' on
+# zero total. Richer than marker-word lists — text with NO stopwords
+# still classifies — while staying a literal table the DuckDB oracle
+# mirrors exactly. fastText remains the production swap-in slot.
 # ---------------------------------------------------------------------------
 
-LANG_MARKERS = {
-    "en": frozenset({"the", "a", "of", "and", "is"}),
-    "de": frozenset({"der", "die", "und", "das", "ist"}),
-    "es": frozenset({"el", "los", "y", "las", "es"}),
-    "fr": frozenset({"le", "la", "et", "les", "est"}),
+# self-written ASCII sample sentences (generic prose, ~330 chars each)
+LANG_SAMPLES = {
+    "en": ("the quick brown fox jumps over the lazy dog and then the small "
+           "children walk to the old school while the morning light falls "
+           "on the quiet street where people read their books and talk "
+           "about the weather with their friends because the day is long "
+           "and the work is done and everything in the town feels calm "
+           "and simple"),
+    "de": ("der schnelle braune fuchs springt ueber den faulen hund und "
+           "dann gehen die kleinen kinder zu der alten schule waehrend das "
+           "morgenlicht auf die stille strasse faellt wo die leute ihre "
+           "buecher lesen und mit ihren freunden ueber das wetter sprechen "
+           "weil der tag lang ist und die arbeit getan ist und alles in "
+           "der stadt ruhig und einfach wirkt"),
+    "es": ("el rapido zorro marron salta sobre el perro perezoso y luego "
+           "los ninos pequenos caminan hacia la vieja escuela mientras la "
+           "luz de la manana cae sobre la calle tranquila donde la gente "
+           "lee sus libros y habla del tiempo con sus amigos porque el dia "
+           "es largo y el trabajo esta hecho y todo en el pueblo se siente "
+           "calmado y sencillo"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux et "
+           "puis les petits enfants marchent vers la vieille ecole pendant "
+           "que la lumiere du matin tombe sur la rue calme ou les gens "
+           "lisent leurs livres et parlent du temps avec leurs amis parce "
+           "que la journee est longue et le travail est fait et tout dans "
+           "la ville semble calme et simple"),
 }
 
+TRIGRAM_TOP_K = 200
 
-def predict_lang(tokens: list[str]) -> tuple[str, float]:
-    """(lang_pred, confidence): argmax of marker-token counts;
-    alphabetical tiebreak; 'und' when no marker hits. Mirrors the
-    Catalyst/SQL implementation in functions/textstats.py exactly."""
-    counts = {lang: 0 for lang in LANG_MARKERS}
-    for t in tokens:
-        for lang, words in LANG_MARKERS.items():
-            if t in words:
-                counts[lang] += 1
-    total = sum(counts.values())
-    if total == 0:
-        return "und", 0.0
-    best = max(sorted(counts), key=lambda l: counts[l])
-    return best, counts[best] / total
+_TRIGRAM_PROFILES = None
+
+
+def trigram_profiles() -> dict[str, tuple[str, ...]]:
+    """lang -> its TOP_K trigrams (count desc, trigram asc — fully
+    deterministic), trained once from LANG_SAMPLES."""
+    global _TRIGRAM_PROFILES
+    if _TRIGRAM_PROFILES is None:
+        prof = {}
+        for lang, sample in LANG_SAMPLES.items():
+            s = sample.lower()
+            counts: dict[str, int] = {}
+            for i in range(len(s) - 2):
+                tg = s[i:i + 3]
+                counts[tg] = counts.get(tg, 0) + 1
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            prof[lang] = tuple(tg for tg, _ in top[:TRIGRAM_TOP_K])
+        _TRIGRAM_PROFILES = prof
+    return _TRIGRAM_PROFILES
+
+
+def predict_lang(text: str) -> tuple[str, float]:
+    """(lang_pred, confidence) for one text — scalar wrapper over the
+    batch trigram scorer."""
+    pred, conf = flat_predict_lang_texts([text])
+    return str(pred[0]), float(conf[0])
 
 
 # ---------------------------------------------------------------------------

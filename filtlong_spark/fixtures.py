@@ -239,15 +239,26 @@ def pii_suite() -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def langid_suite() -> list[dict]:
-    rng = np.random.default_rng(1007)
-    base = _fill_text(300, [], rng)
-    mk = lambda words: base + " " + " ".join(words * 8)
-    return [
-        _row("https://fixture.test/lang/en", mk(["the", "of", "and"]), "en", 0),
-        _row("https://fixture.test/lang/de", mk(["der", "und", "das"]), "de", 1),
-        _row("https://fixture.test/lang/fr", mk(["le", "et", "les"]), "fr", 2),
-        _row("https://fixture.test/lang/es", mk(["el", "y", "las"]), "es", 3),
-    ]
+    """One doc per language — natural sentences DISTINCT from the
+    trigram training samples (core.LANG_SAMPLES), so the gate test
+    checks generalization, not memorization."""
+    sents = {
+        "en": ("my friends walked through the quiet town in the morning "
+               "and the children were reading their favourite books about "
+               "weather and work"),
+        "de": ("die kinder gehen am morgen durch die ruhige stadt und "
+               "lesen ihre lieblingsbuecher ueber wetter und arbeit "
+               "waehrend die freunde sprechen"),
+        "fr": ("les amis marchent dans la ville calme le matin et les "
+               "enfants lisent leurs livres preferes sur le temps et le "
+               "travail"),
+        "es": ("los amigos caminan por el pueblo tranquilo por la manana "
+               "y los ninos leen sus libros favoritos sobre el tiempo y "
+               "el trabajo"),
+    }
+    return [_row(f"https://fixture.test/lang/{lang}", " ".join([txt] * 3),
+                 lang, i)
+            for i, (lang, txt) in enumerate(sents.items())]
 
 
 # ---------------------------------------------------------------------------

@@ -278,7 +278,7 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
             accepted = accepted_bc.value
 
             if langid:
-                pred, _conf = core.flat_predict_lang_tb(tb, nd)
+                pred, _conf = core.flat_predict_lang_texts(texts)
                 if lang_expected is not None:
                     gated = pred != lang_expected
                 else:

@@ -24,16 +24,6 @@ from pyspark.sql import functions as F
 
 TOKENS = r"regexp_extract_all(text, '\\S+', 0)"
 
-# Stopword marker sets for the heuristic language-ID (deterministic
-# stopword profile — the fastText slot; fastText itself isn't in this
-# container, so the gate is a transparent heuristic with the same shape).
-LANG_MARKERS = {
-    "en": ("the", "a", "of", "and", "is"),
-    "de": ("der", "die", "und", "das", "ist"),
-    "es": ("el", "los", "y", "las", "es"),
-    "fr": ("le", "la", "et", "les", "est"),
-}
-
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 
@@ -66,9 +56,6 @@ def token_stats(docs: DataFrame, vocab, key: str = "doc_id") -> DataFrame:
         .alias("stop_count"),
         F.countDistinct("tok").alias("n_distinct"),
     ]
-    for lang, words in sorted(LANG_MARKERS.items()):
-        aggs.append(F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0))
-                    .alias(f"s_{lang}"))
     return toks.groupBy(key).agg(*aggs)
 
 
@@ -77,10 +64,35 @@ def symbol_count_col() -> Column:
     return F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
 
 
-def langid_from_stats(stats: DataFrame) -> DataFrame:
-    """lang_pred + lang_conf via argmax over the marker counts computed by
-    token_stats; deterministic alphabetical tiebreak."""
-    langs = sorted(LANG_MARKERS)
+def langid_df(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """A2 analog (language-ID) over raw text with the char-trigram
+    profiles from core.trigram_profiles(): explode trigram positions
+    (sequence + substring — codegen), count profile hits per language in
+    ONE conditional hash aggregate, argmax with alphabetical tiebreak.
+    Docs shorter than 3 chars score zero everywhere -> 'und'. Exactly
+    mirrors core.flat_predict_lang_texts (the pipeline gate) and the
+    DuckDB oracle SQL."""
+    from .. import core
+    prof = core.trigram_profiles()
+    langs = sorted(prof)
+    tg = (docs.select(key, F.lower(F.col("text")).alias("lt"))
+          .select(key, F.explode(F.sequence(
+              F.lit(1), F.greatest(F.length("lt") - 2, F.lit(0))))
+              .alias("i"), "lt")
+          .select(key, F.expr("substring(lt, i, 3)").alias("tg")))
+    aggs = [F.sum(F.when(F.col("tg").isin(*prof[lang]), 1).otherwise(0))
+            .alias(f"s_{lang}") for lang in langs]
+    counts = tg.groupBy(key).agg(*aggs)
+    filled = (docs.select(key).join(counts, key, "left")
+              .na.fill({f"s_{lang}": 0 for lang in langs}))
+    return langid_from_stats(filled, langs)
+
+
+def langid_from_stats(stats: DataFrame, langs=None) -> DataFrame:
+    """lang_pred + lang_conf via argmax over per-language score columns
+    s_<lang>; deterministic alphabetical tiebreak."""
+    from .. import core
+    langs = sorted(core.trigram_profiles()) if langs is None else langs
     best = F.greatest(*[F.col(f"s_{l}") for l in langs])
     pred = F.lit("und")
     for l in reversed(langs):

@@ -110,7 +110,7 @@ def make_token_mapper(cfg: FilterConfig):
             nd = len(texts)
             tb = core.batch_tokenize(texts)
             if langid:
-                pred, _ = core.flat_predict_lang_tb(tb, nd)
+                pred, _ = core.flat_predict_lang_texts(texts)
                 gated = (pred != lang_expected) if lang_expected is not None \
                     else np.zeros(nd, dtype=bool)
             else:

@@ -104,8 +104,7 @@ def run_pipeline(rows: list[dict], cfg: FilterConfig,
         seen_urls.add(r["url"])
         total_input_chars += len(text)
         if cfg.langid_enabled and cfg.langid_expected is not None:
-            pred, _ = core.predict_lang(
-                [m.group(0) for m in core.TOKEN_RE.finditer(text)])
+            pred, _ = core.predict_lang(text)
             if pred != cfg.langid_expected:
                 continue  # langid gate (A2 analog) — never normalized
         parent = OracleDoc(url=r["url"], text=text, order=order)

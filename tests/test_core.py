@@ -165,9 +165,10 @@ def test_flat_token_quality_and_langid_match_scalar(docs):
     exp_q = (np.concatenate([core.token_quality(d, accepted) for d in docs])
              if docs else np.zeros(0))
     assert np.array_equal(q, exp_q)
-    pred, conf = core.flat_predict_lang(flat, counts)
-    for i, d in enumerate(docs):
-        ep, ec = core.predict_lang(d)
+    texts = [" ".join(d) for d in docs]
+    pred, conf = core.flat_predict_lang_texts(texts)
+    for i, t in enumerate(texts):
+        ep, ec = core.predict_lang(t)
         assert pred[i] == ep
         assert conf[i] == ec
 

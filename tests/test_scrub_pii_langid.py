@@ -43,13 +43,28 @@ class TestPiiCore:
 
 class TestLangidCore:
     def test_predict(self):
-        assert core.predict_lang(["the", "of", "x"])[0] == "en"
-        assert core.predict_lang(["der", "und"])[0] == "de"
-        assert core.predict_lang(["zzz"])[0] == "und"
+        assert core.predict_lang(
+            "the children read their books in the morning")[0] == "en"
+        assert core.predict_lang(
+            "die kinder lesen ihre buecher und sprechen")[0] == "de"
+        assert core.predict_lang("zz")[0] == "und"   # < 3 chars
+        assert core.predict_lang("")[0] == "und"
 
-    def test_tiebreak_alphabetical(self):
-        lang, conf = core.predict_lang(["the", "der"])
-        assert lang == "de" and conf == 0.5
+    def test_no_stopwords_still_classifies(self):
+        """No marker/stop words at all — the char-trigram profiles decide
+        from suffix/letter patterns (the failure mode of the old
+        5-marker-word model)."""
+        lang, conf = core.predict_lang(
+            "lumiere matin travail journee enfants marchent")
+        assert lang == "fr" and conf > 0
+        assert core.predict_lang(
+            "morgenlicht arbeit kinder sprechen waehrend")[0] == "de"
+
+    def test_profiles_deterministic(self):
+        p1 = core.trigram_profiles()
+        assert len(p1) == 4
+        assert all(len(v) == core.TRIGRAM_TOP_K for v in p1.values())
+        assert p1 == core.trigram_profiles()
 
 
 class TestPipeline:
