@@ -43,10 +43,70 @@ def checkpoint(df: DataFrame, spark: SparkSession, path: str,
     return spark.read.parquet(path), resumed
 
 
-def write_lineage(path: str, metrics: dict) -> None:
+DATA_SUBDIR = "reads2"
+
+
+def _manifest(path: str, data_subdir: str = DATA_SUBDIR) -> dict[str, int]:
+    """Per-data-file row counts from the parquet footers (driver-side,
+    no Spark job) — the parquet-dir rendering of an Iceberg manifest."""
+    import glob
+
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(path, data_subdir, "part-*")))
+    return {os.path.basename(f): pq.ParquetFile(f).metadata.num_rows
+            for f in files}
+
+
+def write_lineage(path: str, metrics: dict,
+                  data_subdir: str = DATA_SUBDIR) -> None:
+    """Commit lineage + a CHAINED snapshot entry: each commit records a
+    fresh snapshot_id, its parent (the previously committed snapshot, if
+    any), and the data-file manifest (per-file row counts). This is the
+    parquet-dir rendering of Iceberg's snapshot log + manifests; resume
+    verifies the chain and the manifest (verify_snapshot_chain)."""
     os.makedirs(path, exist_ok=True)
+    prev = read_lineage(path)
+    snap = {
+        "snapshot_id": uuid.uuid4().hex,
+        "parent_snapshot_id": (prev or {}).get("snapshot_id"),
+        "ts": time.time(),
+        "files": _manifest(path, data_subdir),
+    }
+    snapshots = list((prev or {}).get("snapshots") or []) + [snap]
     with open(os.path.join(path, "lineage.json"), "w") as f:
-        json.dump({**metrics, "ts": time.time()}, f, indent=2)
+        json.dump({**metrics, "ts": snap["ts"],
+                   "snapshot_id": snap["snapshot_id"],
+                   "snapshots": snapshots}, f, indent=2)
+
+
+def verify_snapshot_chain(path: str,
+                          data_subdir: str = DATA_SUBDIR) -> None:
+    """Refuse to resume from a checkpoint whose snapshot log is broken or
+    whose data files no longer match the committed manifest (a torn or
+    tampered commit must re-score, not silently relabel)."""
+    lin = read_lineage(path)
+    if lin is None or "snapshots" not in lin:
+        return  # pre-snapshot-log checkpoint: nothing to verify against
+    snaps = lin["snapshots"]
+    if not snaps or lin.get("snapshot_id") != snaps[-1]["snapshot_id"]:
+        raise RuntimeError(
+            "Error: cannot resume — checkpoint snapshot log head mismatch")
+    parent = None
+    for s in snaps:
+        if s.get("parent_snapshot_id") != parent:
+            raise RuntimeError(
+                "Error: cannot resume — broken snapshot parent chain at "
+                f"{s.get('snapshot_id')}")
+        parent = s["snapshot_id"]
+    manifest = snaps[-1].get("files") or {}
+    actual = _manifest(path, data_subdir)
+    if actual != manifest:
+        raise RuntimeError(
+            "Error: cannot resume — data files do not match the committed "
+            f"manifest (expected {len(manifest)} files/"
+            f"{sum(manifest.values())} rows, found {len(actual)}/"
+            f"{sum(actual.values())}); use a new checkpoint_dir or "
+            "resume=False")
 
 
 def read_lineage(path: str) -> dict | None:

@@ -122,6 +122,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
 
     resumed = resume and output_op.is_committed(os.path.join(scratch, "reads2"))
     if resumed:
+        output_op.verify_snapshot_chain(scratch)
         lineage = output_op.read_lineage(scratch) or {}
         _check_resume_config(cfg, lineage.get("config") or {})
         reads2 = spark.read.parquet(os.path.join(scratch, "reads2"))

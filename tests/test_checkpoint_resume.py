@@ -77,6 +77,47 @@ def test_fresh_run_after_cleanup(spark, tmp_path):
     assert not r2.resumed and r2.kept.count() == n1
 
 
+def test_snapshot_chain_across_commits(spark, tmp_path):
+    """Two commits to the same checkpoint dir chain their snapshots
+    (Iceberg snapshot-log rendering): commit 2's parent is commit 1's id,
+    the manifest records per-file row counts, and resume verifies both
+    the chain and the manifest."""
+    ckpt = str(tmp_path / "ckpt5")
+    rows = fx.volume(sf=0.0002)
+    df = fx.to_spark_df(spark, rows)
+    cfg = dict(min_length=100, keep_percent=70.0)
+    run_filter(spark, df, _cfg(**cfg), checkpoint_dir=ckpt)
+    lin1 = output_op.read_lineage(ckpt)
+    assert lin1["snapshots"][-1]["parent_snapshot_id"] is None
+    assert sum(lin1["snapshots"][-1]["files"].values()) > 0
+
+    run_filter(spark, df, _cfg(**cfg), checkpoint_dir=ckpt, resume=False)
+    lin2 = output_op.read_lineage(ckpt)
+    assert len(lin2["snapshots"]) == 2
+    assert (lin2["snapshots"][1]["parent_snapshot_id"]
+            == lin1["snapshot_id"])
+    assert lin2["snapshot_id"] == lin2["snapshots"][1]["snapshot_id"]
+    # chained checkpoint still resumes cleanly
+    r = run_filter(spark, df, _cfg(**cfg), checkpoint_dir=ckpt)
+    assert r.resumed
+
+
+def test_resume_refuses_manifest_mismatch(spark, tmp_path):
+    """A committed data file vanishing (torn/tampered commit) must refuse
+    resume instead of silently relabeling from partial data."""
+    import glob
+
+    import pytest
+    ckpt = str(tmp_path / "ckpt6")
+    rows = fx.volume(sf=0.0002)
+    df = fx.to_spark_df(spark, rows)
+    run_filter(spark, df, _cfg(min_length=100), checkpoint_dir=ckpt)
+    victim = sorted(glob.glob(os.path.join(ckpt, "reads2", "part-*")))[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="manifest"):
+        run_filter(spark, df, _cfg(min_length=100), checkpoint_dir=ckpt)
+
+
 def test_lineage_has_per_partition_counters(spark, tmp_path):
     """north_rule: per-partition lineage rows — counters per language
     partition persisted with the committed snapshot."""
