@@ -221,6 +221,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
              .distinct().localCheckpoint())
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("rep", F.col("node")).localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         msgs = (edges.join(labels, edges.src == labels.node)
                 .select(F.col("dst").alias("node"), "rep"))
@@ -242,6 +243,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # exiting via the iteration cap with labels still moving means a
+        # WRONG dedup grouping, not a crash — make it loud (pointer
+        # jumping needs a pathological component diameter to get here)
+        raise RuntimeError(
+            f"Error: connected_components did not converge within "
+            f"{max_iter} iterations ({changed} labels still changing); "
+            "raise max_iter")
     return labels
 
 

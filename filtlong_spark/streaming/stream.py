@@ -46,11 +46,18 @@ def events_stream_rollup(spark: SparkSession, source_dir: str,
     (late data beyond the watermark is dropped; availableNow backfill ==
     batch, asserted in tests)."""
     from ..operators import events as ev_op
-    ev = spark.readStream.schema(ev_op.EVENTS_SCHEMA).parquet(source_dir)
     # watermarks require instant (TIMESTAMP) event time; the testdata's
-    # naive timestamps are interpreted in the session zone — run with
-    # spark.sql.session.timeZone=UTC for parity with the batch rollup
-    # (production event streams carry instants to begin with)
+    # naive timestamps are interpreted in the SESSION zone, so a non-UTC
+    # session would silently shift every win_start_us relative to the
+    # batch rollup / oracle — enforce instead of hoping (production event
+    # streams carry instants to begin with)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            "Error: events_stream_rollup requires "
+            f"spark.sql.session.timeZone=UTC (got {tz!r}) — naive event "
+            "timestamps would otherwise shift relative to the batch path")
+    ev = spark.readStream.schema(ev_op.EVENTS_SCHEMA).parquet(source_dir)
     ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return (ev.withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -41,6 +41,40 @@ class TestPiiCore:
         assert [t[s:e] for s, e in res.child_spans] == ["good ", " good"]
 
 
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EXAMPLES = int(os.environ.get("HYP_EXAMPLES", "200"))
+
+_PII_FRAGMENTS = [
+    "bob@example.com", "a@b.co", "+1 (555) 123-4567", "555 123-4567",
+    "123-45-6789", "frobnak", "grubbix", "zlorty", "hello", "world",
+    "no pii here", "12", "@", "x.y", "-", "(", ")",
+]
+
+
+@given(st.lists(st.one_of(st.sampled_from(_PII_FRAGMENTS),
+                          st.text(max_size=8)), max_size=12))
+@settings(max_examples=_EXAMPLES, deadline=None)
+def test_pii_possible_is_necessary_condition(parts):
+    """pii_possible is kept in sync with PII_PATTERNS/TOXIC_RE only by a
+    comment — this property makes a future pattern that needs neither
+    '@', a digit, nor a toxic literal fail LOUDLY instead of silently
+    skipping those docs in the batch and LM prefilter paths."""
+    text = " ".join(parts)
+    if core.pii_spans(text):
+        assert core.pii_possible(text)
+
+
+def test_pii_possible_admits_every_pattern_family():
+    for sample in ("a@b.co", "(555) 123-4567", "123-45-6789",
+                   "say frobnak", "grubbix", "zlorty!"):
+        assert core.pii_spans(sample), sample
+        assert core.pii_possible(sample), sample
+
+
 class TestLangidCore:
     def test_predict(self):
         assert core.predict_lang(
