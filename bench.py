@@ -101,6 +101,35 @@ def full_stack_cfg():
                         budget_algorithm="approx")
 
 
+def lm_stack_cfg():
+    """The same stage stack with the bigram-LM (KenLM-style perplexity)
+    scorer forced onto the DISTRIBUTED path — the heaviest plan in the
+    repo (token-grain shuffle + count-table joins + collect_list
+    reassembly)."""
+    from filtlong_spark import FilterConfig
+    return FilterConfig(min_length=100, keep_percent=80.0, trim=True,
+                        split=40, pii_scrub=True,
+                        langid_enabled=True, langid_expected="en",
+                        window_size=50, mode="bigram_lm",
+                        lm_strategy="distributed",
+                        budget_algorithm="approx")
+
+
+def run_pipeline_lm(spark, pages, n_runs: int = 2) -> dict:
+    """LM-mode pipeline leg (self-corpus reference model)."""
+    from filtlong_spark.plans.pipeline import run_filter
+    n_docs = pages.count()
+    best, kept = None, 0
+    for _ in range(n_runs):
+        t0 = time.time()
+        res = run_filter(spark, pages, lm_stack_cfg(), ref_pages=pages)
+        kept = res.kept.count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {"docs": n_docs, "kept": kept, "pipeline_sec": round(best, 2),
+            "docs_per_sec": round(n_docs / best, 1)}
+
+
 def run_pipeline(spark, sf_dir: str) -> dict:
     """Headline: the full-stack pipeline over the documents table mapped to
     the input_hint page shape. min of 2 runs (this box's CPU is noisy)."""
@@ -130,6 +159,9 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     qs = entry_mod.queries()
 
     head = run_pipeline(spark, sf_dir)
+    from filtlong_spark.sources import tables as _tables
+    lm_head = run_pipeline_lm(
+        spark, _tables.documents_as_pages(spark, sf_dir))
 
     per_query = {}
     for name in BENCH_QUERIES:
@@ -141,12 +173,15 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             best = dt if best is None else min(best, dt)
         per_query[name] = round(best, 3)
 
-    total = head["pipeline_sec"] + sum(per_query.values())
+    total = (head["pipeline_sec"] + lm_head["pipeline_sec"]
+             + sum(per_query.values()))
     out = {
         "metric": "filter_pipeline+operator_suite_runtime",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {"pipeline": round(head["pipeline_sec"], 3), **per_query},
+        "queries": {"pipeline": round(head["pipeline_sec"], 3),
+                    "pipeline_lm": round(lm_head["pipeline_sec"], 3),
+                    **per_query},
         "sf": _sf_from_dir(sf_dir),
         "docs": head["n_docs"],
         "kept": head["kept"],
@@ -167,6 +202,10 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         big = min((run_scaling_pipeline(spark, big_path) for _ in range(2)),
                   key=lambda r: r["pipeline_sec"])
         out["big_input"] = big
+        # LM leg on the same 300k-doc input: the token-grain shuffle is
+        # the heaviest path, so one run (not min-of-N) bounds bench time
+        out["big_input_lm"] = run_pipeline_lm(
+            spark, spark.read.parquet(big_path), n_runs=1)
 
     spark.stop()
     return out

@@ -36,8 +36,12 @@ def _register_self_contained_pickling() -> None:
     for mod in ("filtlong_spark.core", "filtlong_spark.functions.scoring",
                 "filtlong_spark.operators.similarity",
                 "filtlong_spark.operators.dedup",
+                "filtlong_spark.operators.lm",
+                "filtlong_spark.operators.multimodal",
                 "filtlong_spark.functions.seqscore",
-                "filtlong_spark.sources.fastx"):
+                "filtlong_spark.functions.textstats",
+                "filtlong_spark.sources.fastx",
+                "filtlong_spark.sources.warc"):
         if mod in sys.modules:
             cloudpickle.register_pickle_by_value(sys.modules[mod])
 

@@ -34,9 +34,9 @@ def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
 
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
 
     def mapper(batches):
-        from .. import core
         for pdf in batches:
             ids, shingles = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):

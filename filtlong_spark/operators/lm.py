@@ -99,11 +99,15 @@ def make_token_mapper(cfg: FilterConfig):
     langid = cfg.langid_enabled
     lang_expected = cfg.langid_expected
     pii = cfg.pii_scrub
+    # captured at definition time -> shipped BY VALUE inside the pickle
+    # (a runtime `from .. import core` inside the mapper would need the
+    # package on the worker's sys.path — breaks consumers without
+    # --py-files)
+    from .. import core
 
     def mapper(batches):
         import numpy as np
         import pandas as pd
-        from .. import core
         for pdf in batches:
             urls = pdf["url"].tolist()
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
@@ -194,6 +198,7 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
     numpy, never on per-token dicts) -> READS2 rows, sharing
     core.compute_bad_ranges/finalize_scrub with every other path."""
     scoring._register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
     window_size = cfg.window_size
     trim, split = cfg.trim, cfg.split
     scrub = trim or split is not None or cfg.pii_scrub
@@ -229,7 +234,6 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
     def mapper(batches):
         import numpy as np
         import pandas as pd
-        from .. import core
         for pdf in batches:
             rows = []
             for (url, n_chars, lang_pred, lang_ok, pos, start, end, good,
