@@ -368,14 +368,20 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
     L = len(langs)
     nd = len(texts)
     per_lang = np.zeros((L, nd), dtype=np.int64)
-    for d, t in enumerate(texts):
-        k = _text_trigram_keys(t or "")
-        if k.size:
-            for li in range(L):
-                kl = keys[li]
-                idx = np.searchsorted(kl, k)
-                idx[idx == kl.size] = 0
-                per_lang[li, d] = int(np.count_nonzero(kl[idx] == k))
+    # one flat key array + ONE searchsorted per language for the whole
+    # batch (segment counts via bincount) — not per-doc calls
+    keys_per_doc = [_text_trigram_keys(t or "") for t in texts]
+    sizes = np.fromiter((k.size for k in keys_per_doc),
+                        dtype=np.int64, count=nd)
+    if sizes.sum():
+        flat = np.concatenate(keys_per_doc)
+        doc_of = np.repeat(np.arange(nd), sizes)
+        for li in range(L):
+            kl = keys[li]
+            idx = np.searchsorted(kl, flat)
+            idx[idx == kl.size] = 0
+            hit = kl[idx] == flat
+            per_lang[li] = np.bincount(doc_of[hit], minlength=nd)
     total = per_lang.sum(axis=0)
     best = per_lang.argmax(axis=0)
     pred = np.array(langs, dtype=object)[best]

@@ -47,18 +47,39 @@ TOK_SCHEMA = ("url string, n_chars long, lang_pred string, lang_ok boolean, "
 def lm_count_tables(ref_pages: DataFrame, min_count: int = 1
                     ) -> tuple[DataFrame, DataFrame, int]:
     """(c1(tok, c1), c2e(prev, tok, c2, c_prev), total) — distributed
-    bigram/unigram counting: posexplode + lag window + hash aggregates,
-    all codegen (<- src/kmers.cpp:142-166's counting, reborn). ``total``
+    bigram/unigram counting (<- src/kmers.cpp:142-166's counting,
+    reborn). (tok, prev) pairs are emitted MAP-ONLY by a vectorized
+    Arrow pass (prev = the preceding token within the doc, None at doc
+    start) — the lag-window formulation this replaces paid a full
+    shuffle+sort of every token row before the first count. ``total``
     is the UNPRUNED token count (probability denominators must not move
     when pruning). The pair table is pre-joined with the prev token's
     unigram count so the scoring stream needs only two joins."""
-    from pyspark.sql import Window
-    toks = ref_pages.select(
-        "url",
-        F.posexplode(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
-        .alias("pos", "tok"))
-    w = Window.partitionBy("url").orderBy("pos")
-    toks = toks.withColumn("prev", F.lag("tok").over(w))
+    scoring._register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+
+    def bigram_mapper(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            tb = core.batch_tokenize(texts)
+            counts = np.asarray(tb.counts, dtype=np.int64)
+            doc_of = np.asarray(tb.doc_of, dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            total = int(offsets[-1])
+            if not total:
+                continue
+            toks_arr = np.array(tb.tokens, dtype=object)
+            pos = np.arange(total, dtype=np.int64) - offsets[doc_of]
+            prev = np.empty(total, dtype=object)
+            prev[:] = None
+            nz = np.nonzero(pos > 0)[0]
+            prev[nz] = toks_arr[nz - 1]
+            yield pd.DataFrame({"tok": toks_arr, "prev": prev})
+
+    toks = ref_pages.select("text").mapInPandas(
+        bigram_mapper, schema="tok string, prev string")
     c1_all = toks.groupBy("tok").agg(F.count("*").alias("c1"))
     total = int(c1_all.agg(F.sum("c1")).collect()[0][0] or 0)
     c1 = c1_all.filter(F.col("c1") >= min_count)
@@ -105,11 +126,14 @@ def make_token_mapper(cfg: FilterConfig):
     # --py-files)
     from .. import core
 
+    COLS = ("url", "n_chars", "lang_pred", "lang_ok",
+            "pos", "tok", "prev", "start", "end")
+
     def mapper(batches):
         import numpy as np
         import pandas as pd
         for pdf in batches:
-            urls = pdf["url"].tolist()
+            urls = np.array(pdf["url"].tolist(), dtype=object)
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
             nd = len(texts)
             tb = core.batch_tokenize(texts)
@@ -120,37 +144,58 @@ def make_token_mapper(cfg: FilterConfig):
             else:
                 pred = np.full(nd, None, dtype=object)
                 gated = np.zeros(nd, dtype=bool)
-            out = {k: [] for k in ("url", "n_chars", "lang_pred", "lang_ok",
-                                   "pos", "tok", "prev", "start", "end")}
+            n_chars = np.fromiter((len(t) for t in texts),
+                                  dtype=np.int64, count=nd)
+            counts = np.asarray(tb.counts, dtype=np.int64)
+            doc_of = np.asarray(tb.doc_of, dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            total = int(offsets[-1])
 
-            def emit(d, pos, tok, prev, s, e):
-                out["url"].append(urls[d])
-                out["n_chars"].append(len(texts[d]))
-                out["lang_pred"].append(pred[d])
-                out["lang_ok"].append(not gated[d])
-                out["pos"].append(pos)
-                out["tok"].append(tok)
-                out["prev"].append(prev)
-                out["start"].append(s)
-                out["end"].append(e)
+            # token rows — fully vectorized (no per-token Python): gather
+            # by a boolean token mask; pos = global index - doc offset;
+            # prev = the previous flat token wherever pos > 0
+            keep_doc = ~gated & (counts > 0)
+            idx = np.nonzero(keep_doc[doc_of])[0]
+            toks_arr = np.array(tb.tokens, dtype=object)
+            pos = (np.arange(total, dtype=np.int64) - offsets[doc_of])[idx]
+            prev_col = np.empty(len(idx), dtype=object)
+            prev_col[:] = None
+            nz = pos > 0
+            prev_col[nz] = toks_arr[idx[nz] - 1]
+            tdoc = doc_of[idx]
+            frames = [pd.DataFrame({
+                "url": urls[tdoc], "n_chars": n_chars[tdoc],
+                "lang_pred": pred[tdoc], "lang_ok": ~gated[tdoc],
+                "pos": pos, "tok": toks_arr[idx], "prev": prev_col,
+                "start": np.asarray(tb.starts, dtype=np.int64)[idx],
+                "end": np.asarray(tb.ends, dtype=np.int64)[idx],
+            }, columns=list(COLS))]
 
-            o = 0
-            for d in range(nd):
-                c = int(tb.counts[d])
-                if gated[d] or c == 0:
-                    emit(d, -1, None, None, 0, 0)
-                else:
-                    prev_tok = None
-                    for k in range(c):
-                        tok = tb.tokens[o + k]
-                        emit(d, k, tok, prev_tok,
-                             int(tb.starts[o + k]), int(tb.ends[o + k]))
-                        prev_tok = tok
-                    if pii and core.pii_possible(texts[d]):
+            # doc sentinels (pos=-1): gated or zero-token docs
+            sdocs = np.nonzero(gated | (counts == 0))[0]
+            if len(sdocs):
+                frames.append(pd.DataFrame({
+                    "url": urls[sdocs], "n_chars": n_chars[sdocs],
+                    "lang_pred": pred[sdocs], "lang_ok": ~gated[sdocs],
+                    "pos": np.full(len(sdocs), -1, dtype=np.int64),
+                    "tok": None, "prev": None,
+                    "start": np.zeros(len(sdocs), dtype=np.int64),
+                    "end": np.zeros(len(sdocs), dtype=np.int64),
+                }, columns=list(COLS)))
+
+            # PII sentinels (pos=-2): per-doc Python only for the docs
+            # that pass the cheap necessary-condition prefilter
+            if pii:
+                rows = []
+                for d in np.nonzero(keep_doc)[0]:
+                    if core.pii_possible(texts[d]):
                         for (s, e) in core.pii_spans(texts[d]):
-                            emit(d, -2, None, None, s, e)
-                o += c
-            yield pd.DataFrame(out)
+                            rows.append((urls[d], n_chars[d], pred[d],
+                                         True, -2, None, None, s, e))
+                if rows:
+                    frames.append(pd.DataFrame(rows, columns=list(COLS)))
+            yield (pd.concat(frames, ignore_index=True)
+                   if len(frames) > 1 else frames[0])
 
     return mapper
 
