@@ -444,6 +444,62 @@ def q_events_sessions(spark, sf_dir):
             .orderBy("user_id", "session_idx"))
 
 
+def _noisy_urls(spark, sf_dir):
+    """Deterministic crawl-noise url variants derived from the documents
+    table (test scaffolding for the canonicalizer: upper-cased hosts,
+    fragments, default ports, tracking params, trailing slashes;
+    doc_id//2 pairs share a page so canonicalization creates dup
+    groups). Mirrored verbatim in the SQL oracle."""
+    d = _docs(spark, sf_dir)
+    id2 = F.expr("doc_id DIV 2").cast("string")
+    host = F.concat(F.lit("w"), (F.expr("doc_id DIV 2") % 7).cast("string"))
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host,
+                                   F.lit(".example.com/doc/"), id2))
+           .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                  F.lit(".EXAMPLE.COM/doc/"), id2,
+                                  F.lit("#top")))
+           .when(v == 2, F.concat(F.lit("https://"), host,
+                                  F.lit(".example.com/doc/"), id2,
+                                  F.lit("/?utm_source=feed&x=1")))
+           .otherwise(F.concat(F.lit("https://"), host,
+                               F.lit(".example.com:443/doc/"), id2,
+                               F.lit("?utm_campaign=a"))))
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (functions/weburl.py): fragment/default-port/
+    tracking-param/trailing-slash/case noise collapses to one key."""
+    from filtlong_spark.functions import weburl
+    n = _noisy_urls(spark, sf_dir)
+    return (n.withColumn("canonical_url",
+                         weburl.canonical_url_col(F.col("url")))
+            .orderBy("doc_id"))
+
+
+def q_dedup_url(spark, sf_dir):
+    """Exact dedup keyed on the CANONICAL url — the first dedup pass of
+    a crawl pipeline (one key-only shuffle)."""
+    from filtlong_spark.functions import weburl
+    n = _noisy_urls(spark, sf_dir)
+    canon = n.withColumn("canonical_url",
+                         weburl.canonical_url_col(F.col("url")))
+    return (canon.groupBy("canonical_url")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("canonical_url"))
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: md5-bucket of the key — a
+    pure function of the document, stable across re-runs/resumes (what
+    randomSplit cannot give you across jobs). Map-only."""
+    from filtlong_spark.operators import sampling
+    return sampling.split_assign(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dup_check(spark, sf_dir):
     """A4: duplicate-key data-quality gate (src/main.cpp:113-117)."""
     d = _docs(spark, sf_dir)
@@ -499,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
+        "url_canon": q_url_canon,
+        "dedup_url": q_dedup_url,
+        "split_assign": q_split_assign,
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
     }
@@ -1231,6 +1290,85 @@ SELECT user_id, session_idx, count(*) AS n_events,
        min(us) AS start_us, max(us) AS end_us,
        sum(cast(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM s2 GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
+
+    from filtlong_spark.functions import weburl as _weburl
+    _CANON_CTES = f"""
+WITH base AS (
+  SELECT doc_id, (doc_id // 2)::VARCHAR AS id2,
+         'w' || ((doc_id // 2) % 7)::VARCHAR AS host, doc_id % 4 AS v
+  FROM {DOCS}
+),
+noisy AS (
+  SELECT doc_id, CASE v
+    WHEN 0 THEN 'https://' || host || '.example.com/doc/' || id2
+    WHEN 1 THEN 'HTTPS://' || upper(host) || '.EXAMPLE.COM/doc/' || id2
+                || '#top'
+    WHEN 2 THEN 'https://' || host || '.example.com/doc/' || id2
+                || '/?utm_source=feed&x=1'
+    ELSE 'https://' || host || '.example.com:443/doc/' || id2
+         || '?utm_campaign=a' END AS url
+  FROM base
+),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM noisy),
+s2 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+         || substr(u, length(regexp_extract(u,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(u,
+           '^(http://[^/?#:]*):80($|[/?#])', '\\1\\2'),
+           '^(https://[^/?#:]*):443($|[/?#])', '\\1\\2') AS u
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, url, u,
+         regexp_replace(u, '\\?.*$', '') AS b,
+         CASE WHEN position('?' IN u) > 0
+              THEN list_filter(
+                     string_split(regexp_replace(u, '^[^?]*\\?', ''), '&'),
+                     p -> NOT regexp_matches(p,
+                            '{_weburl.TRACKING_RE}') AND p <> '')
+              ELSE [] END AS kept
+  FROM s3
+),
+s5 AS (
+  SELECT doc_id, url,
+         CASE WHEN len(kept) = 0 THEN b
+              ELSE b || '?' || array_to_string(kept, '&') END AS u
+  FROM s4
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(u,
+           '(://[^/?#]+/[^?#]*[^/?#])/((\\?[^#]*)?)$', '\\1\\2')
+           AS canonical_url
+  FROM s5
+)"""
+
+    sql["url_canon"] = _CANON_CTES + """
+SELECT doc_id, url, canonical_url FROM canon ORDER BY doc_id"""
+
+    sql["dedup_url"] = _CANON_CTES + """
+SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM canon GROUP BY canonical_url HAVING count(*) > 1
+ORDER BY canonical_url"""
+
+    sql["split_assign"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
+           AS bucket
+  FROM {DOCS}
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id"""
 
     sql["dup_check"] = f"""
 SELECT doc_id, count(*) AS n FROM {DOCS}

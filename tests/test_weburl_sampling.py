@@ -1,0 +1,67 @@
+"""URL canonicalization rules + deterministic split assignment."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from filtlong_spark.functions import weburl
+from filtlong_spark.operators import sampling
+
+
+CANON_CASES = [
+    # fragment stripped
+    ("https://a.test/p#sec", "https://a.test/p"),
+    # scheme+host lowercased, path case kept
+    ("HTTPS://A.Test/Path", "https://a.test/Path"),
+    # default ports dropped (matching scheme only)
+    ("http://a.test:80/p", "http://a.test/p"),
+    ("https://a.test:443/p", "https://a.test/p"),
+    ("http://a.test:8080/p", "http://a.test:8080/p"),
+    ("https://a.test:80/p", "https://a.test:80/p"),
+    # tracking params dropped, others kept, '?' dropped when empty
+    ("https://a.test/p?utm_source=x&q=1&fbclid=z", "https://a.test/p?q=1"),
+    ("https://a.test/p?utm_campaign=x", "https://a.test/p"),
+    ("https://a.test/p?gclid", "https://a.test/p"),
+    # trailing slash stripped except root
+    ("https://a.test/p/", "https://a.test/p"),
+    ("https://a.test/", "https://a.test/"),
+    ("https://a.test/p/?q=1", "https://a.test/p?q=1"),
+    # everything at once
+    ("HTTPS://A.Test:443/p/?utm_source=s&k=v#f", "https://a.test/p?k=v"),
+    # already canonical -> unchanged
+    ("https://a.test/doc/7?q=1", "https://a.test/doc/7?q=1"),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [r["c"] for r in
+           df.select(weburl.canonical_url_col(F.col("url")).alias("c"))
+           .collect()]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    once = df.select(weburl.canonical_url_col(F.col("url")).alias("url"))
+    twice = once.select(weburl.canonical_url_col(F.col("url")).alias("url"))
+    assert [r["url"] for r in once.collect()] == \
+        [r["url"] for r in twice.collect()]
+
+
+def test_split_assign_stable_and_proportioned(spark):
+    docs = spark.range(10_000).toDF("doc_id")
+    a = sampling.split_assign(docs).collect()
+    b = sampling.split_assign(docs).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))  # pure function
+    frac = {s: sum(1 for r in a if r["split"] == s) / len(a)
+            for s in ("train", "val", "test")}
+    assert frac["train"] == pytest.approx(0.90, abs=0.02)
+    assert frac["val"] == pytest.approx(0.05, abs=0.01)
+    assert frac["test"] == pytest.approx(0.05, abs=0.01)
+    # stable under subsetting: the same doc keeps its split in any run
+    sub = {r["doc_id"]: r["split"]
+           for r in sampling.split_assign(docs.filter("doc_id % 3 = 0"))
+           .collect()}
+    full = {r["doc_id"]: r["split"] for r in a}
+    assert all(full[k] == v for k, v in sub.items())
