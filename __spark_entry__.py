@@ -371,6 +371,18 @@ def q_lm_quality(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dedup_text_embedding(spark, sf_dir):
+    """Text -> hashing-trick BoW embedding -> banded sign-LSH near-dup
+    dedup at FULL PRODUCTION WIDTH (4 bands x 16 bits): the documents
+    table's planted near-dups give genuinely near-identical vectors, so
+    this query proves the production banding end-to-end (the synthetic
+    embeddings table has no near-dups, which is why ann_lsh/
+    dedup_embedding run the same code at a narrower band width)."""
+    emb = sim_op.embed_text(_docs(spark, sf_dir))
+    return (sim_op.near_dup_pairs(emb, threshold=0.99)
+            .orderBy("probe_id", "vec_id"))
+
+
 def q_ann_lsh(spark, sf_dir):
     """Banded sign-LSH ANN candidates (the scale path: equi-join on
     (band, key), hot buckets capped, no broadcast of the corpus). Sign
@@ -547,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_text_embedding": q_dedup_text_embedding,
         "lm_quality": q_lm_quality,
         "ann_cosine": q_ann_cosine,
         "ann_topk": q_ann_topk,
@@ -1067,11 +1080,12 @@ FROM p GROUP BY doc_id ORDER BY doc_id"""
                          + "SELECT probe_id, vec_id, cos FROM pairs "
                            "WHERE cos >= 0.2 ORDER BY probe_id, vec_id")
 
-    _LSH_CTES = f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
-),
+    def _lsh_pairs_sql(e_body: str, band_bits: int) -> str:
+        """Banded sign-LSH candidate+cosine CTE chain over a (vec_id,
+        v: DOUBLE list) source — EXACTLY mirrors similarity.lsh_band_keys
+        / lsh_candidate_pairs / _pair_cosines at the given band width."""
+        return f"""
+WITH e AS ({e_body}),
 q AS (
   SELECT vec_id,
          list_transform(v, x -> floor(x * 1000.0 + 0.5)::BIGINT) AS qv
@@ -1086,15 +1100,15 @@ sums AS (
                             % {sim_op.PLANE_MOD}) - 1000))),
            (a, b) -> a + b) AS s
   FROM q CROSS JOIN (SELECT unnest(generate_series(0,
-    {sim_op.LSH_BANDS * LSH_ORACLE_BAND_BITS - 1})) AS p)
+    {sim_op.LSH_BANDS * band_bits - 1})) AS p)
 ),
 bands0 AS (
-  SELECT vec_id, p // {LSH_ORACLE_BAND_BITS} AS band,
+  SELECT vec_id, p // {band_bits} AS band,
          sum(CASE WHEN s > 0
-                  THEN (1::BIGINT << ({LSH_ORACLE_BAND_BITS - 1}
-                                      - (p % {LSH_ORACLE_BAND_BITS})))
+                  THEN (1::BIGINT << ({band_bits - 1}
+                                      - (p % {band_bits})))
                   ELSE 0 END)::BIGINT AS key
-  FROM sums GROUP BY vec_id, p // {LSH_ORACLE_BAND_BITS}
+  FROM sums GROUP BY vec_id, p // {band_bits}
 ),
 bands AS (
   SELECT * FROM bands0
@@ -1120,13 +1134,34 @@ pairs AS (
             JOIN e ce ON ce.vec_id = cand.vec_id
 )"""
 
-    sql["ann_lsh"] = _LSH_CTES + """
+    _EMB_SRC = ("SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+                " AS v\n  FROM embeddings")
+
+    sql["ann_lsh"] = _lsh_pairs_sql(_EMB_SRC, LSH_ORACLE_BAND_BITS) + """
 SELECT probe_id, vec_id, cos FROM pairs
 WHERE probe_id <= 20 ORDER BY probe_id, vec_id"""
 
-    sql["dedup_embedding"] = _LSH_CTES + """
+    sql["dedup_embedding"] = (
+        _lsh_pairs_sql(_EMB_SRC, LSH_ORACLE_BAND_BITS) + """
 SELECT probe_id, vec_id, cos FROM pairs
-WHERE cos >= 0.3 ORDER BY probe_id, vec_id"""
+WHERE cos >= 0.3 ORDER BY probe_id, vec_id""")
+
+    _bow_sums = ", ".join(
+        f"sum(CASE WHEN d = {i} THEN 1 ELSE 0 END)::DOUBLE"
+        for i in range(32))
+    _BOW_SRC = f"""SELECT vec_id, [{_bow_sums}] AS v
+  FROM (
+    SELECT doc_id AS vec_id,
+           (('0x' || substr(md5(tok), 1, 15))::BIGINT % 32) AS d
+    FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM {DOCS})
+  ) GROUP BY vec_id"""
+
+    # production band width (16 bits): the documents table's planted
+    # near-dups make the full-width banding non-trivially exercised
+    sql["dedup_text_embedding"] = (
+        _lsh_pairs_sql(_BOW_SRC, sim_op.BAND_BITS) + """
+SELECT probe_id, vec_id, cos FROM pairs
+WHERE cos >= 0.99 ORDER BY probe_id, vec_id""")
 
     sql["ann_topk"] = (_COS_PAIR_SQL.format(probe_max=10) + """
 , ranked AS (

@@ -362,6 +362,28 @@ def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
             .select("probe_id", "vec_id", "cos", "rank"))
 
 
+def embed_text(docs: DataFrame, dim: int = 32) -> DataFrame:
+    """(vec_id, embedding): deterministic hashing-trick bag-of-words
+    embedding — token t adds 1 to dimension md5_60(t) % dim. The exact-
+    integer stand-in for a real text encoder (swap in a model server /
+    sentence-transformer batch UDF here; everything downstream — banded
+    LSH, cosine, IVF — is unchanged). Integer counts -> bit-identical
+    vectors in the DuckDB oracle. One explode + pivot-free conditional
+    aggregate, single shuffle on doc_id."""
+    toks = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"))
+    h60 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
+                 16, 10).cast("long")
+    toks = toks.select("vec_id", (h60 % dim).alias("d"))
+    aggs = [F.sum(F.when(F.col("d") == i, 1).otherwise(0))
+            .cast("float").alias(f"e{i}") for i in range(dim)]
+    wide = toks.groupBy("vec_id").agg(*aggs)
+    return wide.select(
+        "vec_id", F.array(*[F.col(f"e{i}") for i in range(dim)])
+        .alias("embedding"))
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                    max_bucket: int | None = MAX_BAND_BUCKET,
                    n_bands: int = LSH_BANDS,

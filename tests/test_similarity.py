@@ -120,3 +120,23 @@ def test_ivf_train_deterministic_and_shapes(spark):
     assert (c1 == c2).all()
     lists = {r["list_id"] for r in sim.ivf_assign(emb, c1).collect()}
     assert lists <= set(range(8)) and len(lists) > 1
+
+
+def test_embed_text_near_dups_production_width(spark):
+    """Text -> hashed-BoW embedding -> near-dup pairs at the FULL
+    production band width: planted near-dup texts must pair at cos ~ 1,
+    distinct texts must not."""
+    base = ("the fast sort joins the hash table rows while the merge "
+            "scan filters the wide column batch " * 4)
+    rows = [(1, base), (2, base + " dup"),
+            (3, "totally different words populate this other text about "
+                "windows and watermarks and streams " * 4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = sim.embed_text(docs)
+    assert emb.count() == 3
+    [v] = emb.filter("vec_id = 1").collect()
+    assert len(v["embedding"]) == 32 and sum(v["embedding"]) > 0
+    pairs = {(r["probe_id"], r["vec_id"]): r["cos"]
+             for r in sim.near_dup_pairs(emb, threshold=0.99).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (1, 3) not in pairs and (2, 3) not in pairs
