@@ -1,0 +1,168 @@
+"""Filtlong-compatible command-line interface.
+
+A user of the reference can run their exact command here:
+
+    python -m filtlong_spark --min_length 1000 --keep_percent 90 \
+        -a assembly.fasta input.fastq > output.fastq
+
+Flag surface mirrors the reference parser (src/arguments.cpp:151-222):
+positional input_reads; -t/--target_bases, -p/--keep_percent,
+-l/--min_length, -L/--max_length, -q/--min_mean_q, --min_window_q
+(unit suffixes k/kb/m/mb/g/gb where the reference accepts them);
+-a/--assembly, -1/--short_1, -2/--short_2; --length_weight,
+--mean_q_weight, --window_q_weight; --trim, --split; --window_size,
+--verbose, --version. Validation failures print the reference's
+"Error: ..." messages to stderr and exit 1 (src/arguments.cpp:232-330).
+
+Survivors stream to stdout in input order (the reference's contract,
+src/main.cpp:263-311). Distributed extension: ``--out_dir DIR`` writes
+through the range-partitioned sink instead (part files concatenate to
+the same bytes; no survivor touches the driver) — the spark-submit
+path for real read sets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+VERSION = "filtlong_spark 0.3 (Filtlong-compatible, PySpark-native)"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="filtlong_spark",
+        description="quality filtering tool for long reads (PySpark)")
+    p.add_argument("input_reads", nargs="?",
+                   help="input long reads to be filtered")
+    g = p.add_argument_group("output thresholds")
+    g.add_argument("-t", "--target_bases", metavar="INT",
+                   help="keep only the best reads up to this many total "
+                        "bases (unit suffixes: k, kb, m, mb, g, gb)")
+    g.add_argument("-p", "--keep_percent", metavar="FLOAT", type=float,
+                   help="keep only this percentage of the best reads "
+                        "(measured by bases)")
+    g.add_argument("-l", "--min_length", metavar="INT",
+                   help="minimum length threshold")
+    g.add_argument("-L", "--max_length", metavar="INT",
+                   help="maximum length threshold")
+    g.add_argument("-q", "--min_mean_q", metavar="FLOAT", type=float,
+                   help="minimum mean quality threshold")
+    g.add_argument("--min_window_q", metavar="FLOAT", type=float,
+                   help="minimum window quality threshold")
+    r = p.add_argument_group("external references")
+    r.add_argument("-a", "--assembly", metavar="FILE",
+                   help="reference assembly in FASTA format")
+    r.add_argument("-1", "--short_1", metavar="FILE", dest="short_1",
+                   help="reference short reads in FASTQ format")
+    r.add_argument("-2", "--short_2", metavar="FILE", dest="short_2",
+                   help="reference short reads in FASTQ format")
+    w = p.add_argument_group("score weights")
+    w.add_argument("--length_weight", metavar="FLOAT", type=float,
+                   default=1.0, help="weight given to the length score")
+    w.add_argument("--mean_q_weight", metavar="FLOAT", type=float,
+                   default=1.0, help="weight given to the mean quality score")
+    w.add_argument("--window_q_weight", metavar="FLOAT", type=float,
+                   default=1.0,
+                   help="weight given to the window quality score")
+    m = p.add_argument_group("read manipulation")
+    m.add_argument("--trim", action="store_true",
+                   help="trim non-k-mer-matching bases from start/end")
+    m.add_argument("--split", metavar="INT",
+                   help="split reads at this many (or more) consecutive "
+                        "non-k-mer-matching bases")
+    o = p.add_argument_group("other")
+    o.add_argument("--window_size", metavar="INT", type=int, default=250,
+                   help="size of sliding window used when measuring "
+                        "window quality (default: 250)")
+    o.add_argument("--verbose", action="store_true",
+                   help="verbose output to stderr with info for each read")
+    o.add_argument("--version", action="store_true",
+                   help="display the program version and quit")
+    d = p.add_argument_group("distributed execution (extension)")
+    d.add_argument("--out_dir", metavar="DIR",
+                   help="write survivors via the distributed sink instead "
+                        "of stdout (part files concatenate byte-identically)")
+    d.add_argument("--master", metavar="URL", default=None,
+                   help="Spark master (default: existing session or "
+                        "local[*])")
+    return p
+
+
+def _build_config(a):
+    from .config import FilterConfig
+    mode = "refset" if (a.assembly or a.short_1 or a.short_2) else "intrinsic"
+    return FilterConfig(
+        target_chars=a.target_bases, keep_percent=a.keep_percent,
+        min_length=a.min_length, max_length=a.max_length,
+        min_mean_q=a.min_mean_q, min_window_q=a.min_window_q,
+        length_weight=a.length_weight, mean_q_weight=a.mean_q_weight,
+        window_q_weight=a.window_q_weight,
+        trim=a.trim, split=a.split, window_size=a.window_size,
+        mode=mode)
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    if a.version:
+        print(VERSION)
+        return 0
+    if not a.input_reads:
+        print("Error: no input reads provided", file=sys.stderr)
+        return 1
+    try:
+        return _run(a)
+    except (ValueError, FileNotFoundError) as e:  # ConfigError is a ValueError
+        print(str(e), file=sys.stderr)
+        return 1
+
+
+def _run(a) -> int:
+    cfg = _build_config(a)
+
+    from pyspark.sql import SparkSession
+    b = SparkSession.builder.appName("filtlong_spark")
+    if a.master:
+        b = b.master(a.master)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from .functions import report
+    from .plans import fastx_pipeline as fp
+    from .sources import fastx
+
+    reads = fastx.read_fastx(spark, a.input_reads)
+    assembly = fastx.read_fastx(spark, a.assembly) if a.assembly else None
+    refs = [p for p in (a.short_1, a.short_2) if p]
+    ref_reads = None
+    if refs:
+        dfs = [fastx.read_fastx(spark, p) for p in refs]
+        ref_reads = dfs[0] if len(dfs) == 1 else dfs[0].unionByName(dfs[1])
+
+    res = fp.run_filtlong(spark, reads, cfg, assembly=assembly,
+                          ref_reads=ref_reads)
+
+    if a.verbose:
+        rows = (res.reads2
+                .orderBy("file", "rec_idx", "child_start").collect())
+        for ln in report.verbose_read_info(rows, name_col="name",
+                                           parent_col="parent_name"):
+            print(ln, file=sys.stderr)
+
+    kept_chars = (res.reads2.filter("passed")
+                  .agg({"n_chars": "sum"}).collect()[0][0]) or 0
+    passed_chars = (res.reads2.filter("hard_passed")
+                    .agg({"n_chars": "sum"}).collect()[0][0]) or 0
+    for ln in report.filter_summary(res.target, res.total_bases,
+                                    passed_chars, int(kept_chars)):
+        print(ln, file=sys.stderr)
+
+    if a.out_dir:
+        fp.write_fastx(res, a.out_dir)
+    else:
+        sys.stdout.write("".join(fp.to_fastx_lines(res)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

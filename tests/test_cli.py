@@ -1,0 +1,71 @@
+"""Filtlong-compatible CLI: same flags, same stdout/stderr contract."""
+
+import pytest
+
+from filtlong_spark import cli
+from filtlong_spark.config import FilterConfig
+from filtlong_spark.plans import fastx_pipeline as fp
+from filtlong_spark.sources import fastx
+
+REF = "/root/reference/test"
+
+
+def test_version(capsys):
+    assert cli.main(["--version"]) == 0
+    assert "filtlong_spark" in capsys.readouterr().out
+
+
+def test_no_input(capsys):
+    assert cli.main(["--min_length", "1"]) == 1
+    assert "Error: no input reads" in capsys.readouterr().err
+
+
+def test_no_thresholds_error(capsys, spark):
+    assert cli.main([f"{REF}/test_sort.fastq"]) == 1
+    err = capsys.readouterr().err
+    assert err.startswith("Error: no thresholds set")
+
+
+def test_missing_file_error(capsys, spark):
+    assert cli.main(["--min_length", "1", "NOT_A_FILE.fastq"]) == 1
+    assert "Error: cannot find file: NOT_A_FILE.fastq" in \
+        capsys.readouterr().err
+
+
+def test_cli_matches_library_phred_mode(capsys, spark):
+    """CLI stdout == the library pipeline's driver formatter for the
+    same flags (unit-suffix parsing included)."""
+    rc = cli.main(["--min_length", "0.01k", "--target_bases", "10k",
+                   f"{REF}/test_sort.fastq"])
+    out, err = capsys.readouterr()
+    assert rc == 0
+    reads = fastx.read_fastx(spark, f"{REF}/test_sort.fastq")
+    cfg = FilterConfig(min_length="0.01k", target_chars="10k",
+                       mode="intrinsic")
+    res = fp.run_filtlong(spark, reads, cfg)
+    assert out == "".join(fp.to_fastx_lines(res))
+    assert "Filtering long reads" in err       # summary on stderr
+    assert "target: 10,000 bp" in err
+
+
+def test_cli_refset_trim_split_and_out_dir(capsys, spark, tmp_path):
+    """Reference mode (-a) + --trim/--split through the CLI; --out_dir
+    writes the distributed sink byte-identically to stdout mode."""
+    out_dir = str(tmp_path / "cli_out")
+    rc = cli.main(["--min_length", "1", "-a", f"{REF}/test_reference.fasta",
+                   "--split", "25", "--out_dir", out_dir,
+                   f"{REF}/test_split.fastq"])
+    assert rc == 0
+    reads = fastx.read_fastx(spark, f"{REF}/test_split.fastq")
+    assembly = fastx.read_fastx(spark, f"{REF}/test_reference.fasta")
+    cfg = FilterConfig(min_length=1, split=25, mode="refset")
+    res = fp.run_filtlong(spark, reads, cfg, assembly=assembly)
+    assert fp.read_fastx_output(out_dir) == "".join(fp.to_fastx_lines(res))
+
+
+def test_cli_verbose_blocks(capsys, spark):
+    rc = cli.main(["--min_length", "1", "--verbose", "-a",
+                   f"{REF}/test_reference.fasta", f"{REF}/test_sort.fastq"])
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "mean quality" in err  # per-read verbose block on stderr
