@@ -375,10 +375,13 @@ def embed_text(docs: DataFrame, dim: int = 32) -> DataFrame:
         F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"))
     h60 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
                  16, 10).cast("long")
-    toks = toks.select("vec_id", (h60 % dim).alias("d"))
-    aggs = [F.sum(F.when(F.col("d") == i, 1).otherwise(0))
+    # collapse to (vec_id, dim, count) first — the dim-wide CASE sums
+    # then run over ~dim rows per doc instead of every token occurrence
+    cnt = (toks.select("vec_id", (h60 % dim).alias("d"))
+           .groupBy("vec_id", "d").agg(F.count("*").alias("c")))
+    aggs = [F.sum(F.when(F.col("d") == i, F.col("c")).otherwise(0))
             .cast("float").alias(f"e{i}") for i in range(dim)]
-    wide = toks.groupBy("vec_id").agg(*aggs)
+    wide = cnt.groupBy("vec_id").agg(*aggs)
     return wide.select(
         "vec_id", F.array(*[F.col(f"e{i}") for i in range(dim)])
         .alias("embedding"))
