@@ -67,6 +67,49 @@ def events_stream_rollup(spark: SparkSession, source_dir: str,
                     "event_type", "n_events", "value_cents"))
 
 
+def events_stream_sessions(spark: SparkSession, source_dir: str,
+                           gap_minutes: int = 30,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked gap-based sessionization on a STREAM via the built-in
+    session_window (merging windows closed ``gap`` after the last event)
+    — the Structured Streaming rendering of operators/events.sessionize;
+    per closed session the same (user, start, n_events, value_cents)
+    the batch path yields (asserted in tests). Built-in stateful
+    operator > hand-rolled applyInPandasWithState: watermark handling,
+    state eviction, and AQE-free incremental planning come for free."""
+    from ..operators import events as ev_op
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            "Error: events_stream_sessions requires "
+            f"spark.sql.session.timeZone=UTC (got {tz!r})")
+    ev = spark.readStream.schema(ev_op.EVENTS_SCHEMA).parquet(source_dir)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (ev.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", f"{gap_minutes} minutes")
+                     .alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(ev_op.value_cents()).alias("value_cents"),
+                 F.unix_micros(F.max("ts")).alias("end_us"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start")).alias("start_us"),
+                    "end_us", "n_events", "value_cents"))
+
+
+def pages_stream_dedup(spark: SparkSession, source_dir: str,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming EXACT dedup by url: watermarked dropDuplicates — state
+    holds one entry per url inside the watermark horizon, so re-crawled
+    pages within it are emitted once (the ingest-time dedup stage of a
+    crawl pipeline; cross-horizon dedup stays a batch job over the
+    committed table)."""
+    pages = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string").parquet(source_dir))
+    return (pages.withWatermark("warc_ts", watermark)
+            .dropDuplicates(["url"]))
+
+
 def run_available_now(spark: SparkSession, source_dir: str,
                       cfg: FilterConfig, sink_dir: str,
                       checkpoint_dir: str) -> None:

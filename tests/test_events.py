@@ -74,3 +74,63 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
     last_win_start = max(k[0] for k in batch)
     horizon = last_win_start - 2 * 3600 * 1_000_000
     assert all(k[0] >= horizon for k in set(batch) - set(got))
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """availableNow watermarked session_window stream == the batch
+    gap-sessionizer on every emitted (closed) session."""
+    from filtlong_spark.streaming import stream as st
+    src = str(tmp_path / "events_src2")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .write.mode("overwrite").parquet(src)
+
+    batch = {(r["user_id"], r["start_us"]):
+             (r["end_us"], r["n_events"], r["value_cents"])
+             for r in ev_op.sessionize(
+                 spark.read.schema(ev_op.EVENTS_SCHEMA).parquet(src),
+                 gap_minutes=30).collect()}
+
+    out_dir = str(tmp_path / "sessions_out")
+    ck = str(tmp_path / "ck2")
+    q = (st.events_stream_sessions(spark, src)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["start_us"]):
+           (r["end_us"], r["n_events"], r["value_cents"])
+           for r in spark.read.parquet(out_dir).collect()}
+    # append mode emits only sessions the watermark has closed; every
+    # emitted session must match batch exactly
+    assert len(got) > 0 and set(got) <= set(batch)
+    assert all(got[k] == batch[k] for k in got)
+    # the withheld sessions are exactly those near the final event time
+    horizon = (max(v[0] for v in batch.values())
+               - 2 * 3600 * 1_000_000 - 30 * 60 * 1_000_000)
+    assert all(v[0] >= horizon
+               for k, v in batch.items() if k not in got)
+
+
+def test_streaming_dedup_by_url(spark, tmp_path):
+    """Watermarked streaming dropDuplicates: a re-crawled url inside the
+    horizon is emitted exactly once."""
+    import datetime
+    from filtlong_spark.streaming import stream as st
+    src = str(tmp_path / "pages_src")
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [("https://a.test/1", t0, None, "one", None),
+            ("https://a.test/1", t0 + datetime.timedelta(minutes=5),
+             None, "one again", None),
+            ("https://a.test/2", t0, None, "two", None)]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string").write.parquet(src)
+    out_dir = str(tmp_path / "dedup_out")
+    ck = str(tmp_path / "ck3")
+    q = (st.pages_stream_dedup(spark, src)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
+    assert got == ["https://a.test/1", "https://a.test/2"]
