@@ -379,7 +379,10 @@ def q_dedup_text_embedding(spark, sf_dir):
     embeddings table has no near-dups, which is why ann_lsh/
     dedup_embedding run the same code at a narrower band width)."""
     emb = sim_op.embed_text(_docs(spark, sf_dir))
-    return (sim_op.near_dup_pairs(emb, threshold=0.99)
+    # center=True: BoW counts are exact integers, so the corpus mean is
+    # bit-identical across engines and the clustered-corpus banding fix
+    # can be oracle-checked too (10x fewer candidates, see lsh_band_keys)
+    return (sim_op.near_dup_pairs(emb, threshold=0.99, center=True)
             .orderBy("probe_id", "vec_id"))
 
 
@@ -1080,17 +1083,38 @@ FROM p GROUP BY doc_id ORDER BY doc_id"""
                          + "SELECT probe_id, vec_id, cos FROM pairs "
                            "WHERE cos >= 0.2 ORDER BY probe_id, vec_id")
 
-    def _lsh_pairs_sql(e_body: str, band_bits: int) -> str:
+    def _lsh_pairs_sql(e_body: str, band_bits: int,
+                       center: bool = False) -> str:
         """Banded sign-LSH candidate+cosine CTE chain over a (vec_id,
         v: DOUBLE list) source — EXACTLY mirrors similarity.lsh_band_keys
-        / lsh_candidate_pairs / _pair_cosines at the given band width."""
-        return f"""
-WITH e AS ({e_body}),
+        / lsh_candidate_pairs / _pair_cosines at the given band width.
+        center mirrors the corpus-mean subtraction (exact for
+        integer-valued sources: sums are exact in double, and the
+        mean's division is the same IEEE op in both engines)."""
+        if center:
+            q_cte = """
+mu AS (
+  SELECT i, sum(val) / count(*) AS m
+  FROM (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e)
+  GROUP BY i
+),
+mulist AS (SELECT list(m ORDER BY i) AS mv FROM mu),
+q AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> floor((v[i] - mulist.mv[i]) * 1000.0 + 0.5)::BIGINT)
+           AS qv
+  FROM e CROSS JOIN mulist
+),"""
+        else:
+            q_cte = """
 q AS (
   SELECT vec_id,
          list_transform(v, x -> floor(x * 1000.0 + 0.5)::BIGINT) AS qv
   FROM e
-),
+),"""
+        return f"""
+WITH e AS ({e_body}),{q_cte}
 sums AS (
   SELECT vec_id, p,
          list_reduce(list_prepend(0::BIGINT,
@@ -1156,10 +1180,12 @@ WHERE cos >= 0.3 ORDER BY probe_id, vec_id""")
     FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM {DOCS})
   ) GROUP BY vec_id"""
 
-    # production band width (16 bits): the documents table's planted
-    # near-dups make the full-width banding non-trivially exercised
+    # production band width (16 bits) + mean-centered planes: the
+    # documents table's planted near-dups make the full-width banding
+    # non-trivially exercised, and integer BoW counts keep the centered
+    # quantization bit-exact across engines
     sql["dedup_text_embedding"] = (
-        _lsh_pairs_sql(_BOW_SRC, sim_op.BAND_BITS) + """
+        _lsh_pairs_sql(_BOW_SRC, sim_op.BAND_BITS, center=True) + """
 SELECT probe_id, vec_id, cos FROM pairs
 WHERE cos >= 0.99 ORDER BY probe_id, vec_id""")
 

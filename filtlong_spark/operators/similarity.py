@@ -137,15 +137,40 @@ def plane_matrix(dim: int, n_planes: int = N_PLANES):
     return w
 
 
+def corpus_mean(emb: DataFrame, dim: int) -> list[float]:
+    """Per-dimension corpus mean (one tiny aggregate -> dim doubles on
+    the driver). For integer-valued embeddings (hashed BoW counts) the
+    sums are exact in double, so the mean is bit-identical across
+    engines; for arbitrary float embeddings the sum order makes the
+    last ulp engine-dependent — only center those where the oracle
+    doesn't need bit equality."""
+    row = emb.agg(*[
+        F.sum(F.element_at("embedding", i + 1).cast("double"))
+        .alias(f"s{i}") for i in range(dim)],
+        F.count("*").alias("n")).collect()[0]
+    n = row["n"] or 1
+    return [float(row[f"s{i}"] or 0.0) / n for i in range(dim)]
+
+
 def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
-                  band_bits: int = BAND_BITS) -> DataFrame:
+                  band_bits: int = BAND_BITS,
+                  center: bool = False) -> DataFrame:
     """(vec_id, band, key): banded sign-LSH signature — band b's key packs
     sign bits of planes [b*band_bits, (b+1)*band_bits), MSB-first. ONE
     numpy mapInPandas pass (a BLAS int matmul per Arrow batch); the
     exchange then carries only (vec_id, band, key) — ~24 bytes/row, the
     embedding itself never rides the band shuffle. Embeddings are
     quantized floor(x*1000 + 0.5) so the plane dot products are exact
-    int64 in every engine (mirrored in the DuckDB oracle)."""
+    int64 in every engine (mirrored in the DuckDB oracle).
+
+    center=True subtracts the corpus mean before the planes — THE
+    clustered-corpus survival knob: real text embeddings share a strong
+    common direction, so origin-centered hyperplanes see most of the
+    corpus on one side and band keys collapse into mega-buckets (which
+    the cap then eats — recall silently dies at scale). Measured on the
+    sf0.1 hashed-BoW corpus: candidates 609,764 -> 61,285 (10x) at
+    recall 209/215 -> 192/215 for raw-cos>=0.99 pairs. Centering is a
+    translation, so truly near-identical vectors stay near-identical."""
     import numpy as np
     import pandas as pd
 
@@ -158,6 +183,8 @@ def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
     if first is None:
         return spark.createDataFrame([], schema)
     dim = len(first["embedding"])
+    mu = (np.array(corpus_mean(emb, dim), dtype=np.float64)
+          if center else np.zeros(dim, dtype=np.float64))
     n_planes = n_bands * band_bits
     w = plane_matrix(dim, n_planes)
     # per-band MSB-first packing: plane p contributes bit (band_bits-1 - p%band_bits)
@@ -171,7 +198,7 @@ def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
             if not len(pdf):
                 continue
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            qE = np.floor(E * QUANT + 0.5).astype(np.int64)
+            qE = np.floor((E - mu) * QUANT + 0.5).astype(np.int64)
             bits = ((qE @ w.T) > 0).astype(np.int64)   # (batch, n_planes)
             keys = bits @ pack                         # (batch, n_bands)
             vids = pdf["vec_id"].to_numpy()
@@ -221,7 +248,8 @@ def _pair_cosines(emb: DataFrame, pairs: DataFrame) -> DataFrame:
 def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
                         max_bucket: int | None = MAX_BAND_BUCKET,
                         n_bands: int = LSH_BANDS,
-                        band_bits: int = BAND_BITS) -> DataFrame:
+                        band_bits: int = BAND_BITS,
+                        center: bool = False) -> DataFrame:
     """Distinct (probe_id, vec_id) candidate pairs, probe_id < vec_id,
     agreeing on at least one capped band. probe_max_id=None -> whole-corpus
     self-join (dedup); otherwise only probes with vec_id <= probe_max_id.
@@ -231,7 +259,7 @@ def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
     recall radius for selectivity (production default 16; the driver's
     sf-testdata oracle runs the same path at 6 because the synthetic
     embeddings carry no near-dups — max pairwise cos ~0.51)."""
-    bands = lsh_band_keys(emb, n_bands, band_bits)
+    bands = lsh_band_keys(emb, n_bands, band_bits, center)
     bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     probes = bands.select(F.col("vec_id").alias("probe_id"), "band", "key")
     if probe_max_id is not None:
@@ -245,14 +273,15 @@ def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
 def ann_lsh_candidates(emb: DataFrame, probe_max_id: int,
                        max_bucket: int | None = MAX_BAND_BUCKET,
                        n_bands: int = LSH_BANDS,
-                       band_bits: int = BAND_BITS) -> DataFrame:
+                       band_bits: int = BAND_BITS,
+                       center: bool = False) -> DataFrame:
     """Banded sign-LSH ANN: probes join the corpus only within shared
     (capped) band buckets — a shuffle equi-join on (band, key), no
     broadcast of the corpus, no cross product; the 100 TB shape when the
     probe set is too large to broadcast. Returns (probe_id, vec_id, cos),
     rounded to 6dp for cross-engine determinism."""
     cand = lsh_candidate_pairs(emb, probe_max_id, max_bucket,
-                               n_bands, band_bits)
+                               n_bands, band_bits, center)
     return _pair_cosines(emb, cand)
 
 
@@ -390,7 +419,8 @@ def embed_text(docs: DataFrame, dim: int = 32) -> DataFrame:
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                    max_bucket: int | None = MAX_BAND_BUCKET,
                    n_bands: int = LSH_BANDS,
-                   band_bits: int = BAND_BITS) -> DataFrame:
+                   band_bits: int = BAND_BITS,
+                   center: bool = False) -> DataFrame:
     """Embedding-cosine NEAR-DUP dedup over the whole corpus: banded
     sign-LSH SELF-join (capped buckets — never all-pairs, never a hot
     degenerate bucket) + exact cosine filter on candidates. Returns
@@ -398,7 +428,8 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     Near-identical vectors (theta ~ 0) agree on a full 16-bit band with
     prob ~(1-theta/pi)^16 per band, any of 4 bands -> recall ~1 on true
     near-dups, while unrelated vectors almost never share a band."""
-    cand = lsh_candidate_pairs(emb, None, max_bucket, n_bands, band_bits)
+    cand = lsh_candidate_pairs(emb, None, max_bucket, n_bands, band_bits,
+                               center)
     return (_pair_cosines(emb, cand)
             .filter(F.col("cos") >= threshold)
             .select("probe_id", "vec_id", "cos"))

@@ -140,3 +140,24 @@ def test_embed_text_near_dups_production_width(spark):
              for r in sim.near_dup_pairs(emb, threshold=0.99).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_centered_banding_prunes_clustered_corpus(spark):
+    """Mean-centering before the hyperplanes: on a CLUSTERED corpus
+    (shared common direction, like real text embeddings) centered bands
+    produce far fewer candidates while still pairing the planted
+    near-identical vectors (centering is a translation)."""
+    rng = np.random.default_rng(11)
+    common = rng.normal(size=16) * 10.0           # strong shared direction
+    base = common[None, :] + rng.normal(size=(300, 16))
+    base[200:250] = base[0:50] + rng.normal(scale=0.001, size=(50, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    raw = sim.lsh_candidate_pairs(emb, None).count()
+    cen = sim.lsh_candidate_pairs(emb, None, center=True).count()
+    assert cen < raw / 3
+    got = {(r["probe_id"], r["vec_id"])
+           for r in sim.near_dup_pairs(emb, threshold=0.999,
+                                       center=True).collect()}
+    planted = {(i, i + 200) for i in range(50)}
+    assert len(got & planted) / len(planted) >= 0.9
