@@ -94,3 +94,22 @@ def test_warc_to_pipeline(spark, tmp_path):
     kept = res.kept.collect()
     assert len(kept) == 1 and kept[0]["url"] == "https://p.test/doc"
     assert kept[0]["mean_q"] > 50
+
+
+def test_warc_malformed_archive_errors_clearly(spark, tmp_path):
+    """A corrupt archive (non-WARC framing) must raise the parser's
+    clear error, not silently produce garbage rows."""
+    import pytest
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"HTTP/1.1 200 OK\r\n\r\nnot a warc at all")
+    with pytest.raises(Exception, match="not a WARC record header"):
+        warc.parse_warc_file(str(bad))
+    # truncated content-length: the record claims more bytes than exist;
+    # the parser must stop cleanly at EOF rather than loop or crash
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: u\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Length: 999999\r\n\r\nshort")
+    t = tmp_path / "trunc.warc"
+    t.write_bytes(rec)
+    rows = warc.parse_warc_file(str(t))
+    assert len(rows) == 1 and rows[0]["url"] == "u"
