@@ -99,6 +99,11 @@ class FilterConfig:
     # partitions — same content, no global sort; the 100 TB sink shape)
     output_ordering: str = "global"
 
+    # dedup ingested pages on the CANONICAL url (functions/weburl.py):
+    # http/https, tracking-param and fragment variants of one page
+    # collapse to a single scored document
+    canonical_url_dedup: bool = False
+
     # bigram_lm distributed path: bigram/unigram entries with corpus count
     # below this are pruned from the model tables before the quality join
     # (bounds the broadcast side at web scale; 1 = exact/no pruning)

@@ -23,41 +23,55 @@ class IngestResult:
     quarantine: DataFrame  # rows rejected, with a reason column
 
 
-def ingest(pages: DataFrame, order_cols=("warc_ts", "url")) -> IngestResult:
+def ingest(pages: DataFrame, order_cols=("warc_ts", "url"),
+           canonical_url_dedup: bool = False) -> IngestResult:
     """Validate + stamp the order key used by the order-preserving sink
     (A7). The order key is (warc_ts, url) — stable and data-derived, unlike
     monotonically_increasing_id which depends on partition layout.
 
+    canonical_url_dedup=True dedups on the CANONICAL url
+    (functions/weburl.py) instead of the raw string: http/https
+    re-crawls, tracking-param and fragment variants of one page collapse
+    to a single scored document (first occurrence by the order key wins,
+    the rest are quarantined as duplicate_canonical_url).
+
     Duplicate handling is shaped for scale: a naive row_number window over
-    url would shuffle EVERY row (including the text column) and AQE then
-    coalesces the CPU-heavy downstream Python stage onto a handful of
-    tasks. Instead: (1) find duplicated urls with a key-only aggregate
-    (shuffles just urls), (2) broadcast-join that small set back, so clean
+    the key would shuffle EVERY row (including the text column) and AQE
+    then coalesces the CPU-heavy downstream Python stage onto a handful of
+    tasks. Instead: (1) find duplicated keys with a key-only aggregate
+    (shuffles just keys), (2) broadcast-join that small set back, so clean
     rows flow scan->score with no shuffle, and only the duplicated subset
     pays the window. Assumes dups are the exception (url-keyed crawl
-    snapshots); a dup-heavy source should be pre-bucketed by url instead.
+    snapshots); a dup-heavy source should be pre-bucketed by key instead.
     """
-    base = pages.withColumn(
+    if canonical_url_dedup:
+        from ..functions.weburl import canonical_url_col
+        key = canonical_url_col(F.col("url"))
+        reason_dup = "duplicate_canonical_url"
+    else:
+        key = F.col("url")
+        reason_dup = "duplicate_url"
+    base = pages.withColumn("_key", key).withColumn(
         "_reason",
         F.when(F.col("text").isNull(), F.lit("null_text"))
          .when(F.length("text") == 0, F.lit("empty_text")))
 
-    # A4: duplicated urls, key-only aggregate -> small -> broadcast
-    dup_urls = (pages.groupBy("url").agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") > 1).select("url")
+    # A4: duplicated keys, key-only aggregate -> small -> broadcast
+    dup_keys = (base.groupBy("_key").agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > 1).select("_key")
                 .withColumn("_dup", F.lit(1)))
-    marked = base.join(F.broadcast(dup_urls), "url", "left")
+    marked = base.join(F.broadcast(dup_keys), "_key", "left")
 
     clean = marked.filter(F.col("_dup").isNull()).drop("_dup")
     dups = marked.filter(F.col("_dup").isNotNull()).drop("_dup")
-    w = Window.partitionBy("url").orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy("_key").orderBy(*[F.col(c) for c in order_cols])
     dups = (dups.withColumn("_rn", F.row_number().over(w))
             .withColumn(
                 "_reason",
                 F.when(F.col("_reason").isNotNull(), F.col("_reason"))
-                 .when(F.col("_rn") > 1, F.lit("duplicate_url")))
+                 .when(F.col("_rn") > 1, F.lit(reason_dup)))
             .drop("_rn"))
-    base = clean.unionByName(dups)
+    base = clean.unionByName(dups).drop("_key")
 
     valid = base.filter(F.col("_reason").isNull()).drop("_reason")
     quarantine = (base.filter(F.col("_reason").isNotNull())

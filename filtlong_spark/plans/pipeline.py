@@ -58,6 +58,7 @@ class PipelineResult:
 # per-doc metrics, hard_passed, or the child set). Budget/weight fields are
 # applied AFTER the snapshot, so changing them on resume is legal.
 _SNAPSHOT_FIELDS = (
+    "canonical_url_dedup",
     "window_size", "trim", "split", "pii_scrub", "mode", "vocab",
     "required_copies", "lm_threshold", "lm_min_count",
     "langid_enabled", "langid_expected",
@@ -117,7 +118,8 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
     # ingest always runs — the source table is re-read at output time to
     # reattach survivor text (the reference's second input pass,
     # src/main.cpp:263-311); the committed snapshot holds metrics only
-    ing = ingest_op.ingest(pages)
+    ing = ingest_op.ingest(
+        pages, canonical_url_dedup=cfg.canonical_url_dedup)
     quarantine = ing.quarantine
 
     resumed = resume and output_op.is_committed(os.path.join(scratch, "reads2"))

@@ -65,3 +65,34 @@ def test_split_assign_stable_and_proportioned(spark):
            .collect()}
     full = {r["doc_id"]: r["split"] for r in a}
     assert all(full[k] == v for k, v in sub.items())
+
+
+def test_pipeline_canonical_url_dedup(spark):
+    """canonical_url_dedup=True: crawl-noise variants of one page
+    collapse at ingest — one scored survivor, the variant quarantined as
+    duplicate_canonical_url; with the flag off both score."""
+    import datetime
+    from filtlong_spark.config import FilterConfig
+    from filtlong_spark.plans.pipeline import run_filter
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    text = "the fast sort joins the hash table rows " * 10
+    rows = [
+        ("https://a.test/page?utm_source=feed", t0, None, text, None),
+        ("HTTPS://A.test/page#top",
+         t0 + datetime.timedelta(minutes=1), None, text + "later", None),
+        ("https://a.test/other", t0, None, text, None),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    cfg = dict(min_length=10, mode="intrinsic",
+               vocab=frozenset(text.split()))
+    res = run_filter(spark, pages, FilterConfig(**cfg))
+    assert res.kept.count() == 3  # raw urls differ -> no dedup
+    res2 = run_filter(spark, pages,
+                      FilterConfig(**cfg, canonical_url_dedup=True))
+    kept = sorted(r["url"] for r in res2.kept.collect())
+    assert kept == ["https://a.test/other",
+                    "https://a.test/page?utm_source=feed"]  # first wins
+    q = {r["url"]: r["reason"] for r in res2.quarantine.collect()}
+    assert q == {"HTTPS://A.test/page#top": "duplicate_canonical_url"}
