@@ -102,7 +102,96 @@ def _build_config(a):
         mode=mode)
 
 
+def build_web_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="filtlong_spark web",
+        description="north_rule web-text quality-filter pipeline over an "
+                    "Iceberg/parquet pages table (url, warc_ts, html, "
+                    "text, lang)")
+    p.add_argument("input", help="pages table path (parquet dir) or WARC "
+                                 "glob (*.warc / *.warc.gz)")
+    p.add_argument("--out_dir", required=True,
+                   help="survivor table output path (parquet)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir: commits the scored snapshot + "
+                        "lineage; pass the same dir again to RESUME")
+    p.add_argument("--min_length", default=None)
+    p.add_argument("--max_length", default=None)
+    p.add_argument("--min_mean_q", type=float, default=None)
+    p.add_argument("--min_window_q", type=float, default=None)
+    p.add_argument("--keep_percent", type=float, default=None)
+    p.add_argument("--target_chars", default=None)
+    p.add_argument("--window_size", type=int, default=250)
+    p.add_argument("--trim", action="store_true")
+    p.add_argument("--split", default=None)
+    p.add_argument("--pii_scrub", action="store_true")
+    p.add_argument("--langid", metavar="LANG", default=None,
+                   help="language-ID gate: keep only docs predicted LANG")
+    p.add_argument("--canonical_url_dedup", action="store_true",
+                   help="dedup ingested pages on the canonical url")
+    p.add_argument("--mode", choices=("intrinsic", "refset", "bigram_lm"),
+                   default="intrinsic")
+    p.add_argument("--ref", default=None,
+                   help="reference pages table (refset / bigram_lm modes)")
+    p.add_argument("--output_ordering", choices=("global", "partitioned"),
+                   default="partitioned",
+                   help="partitioned (default; no global sort — the "
+                        "cluster path) or global")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def run_web(argv) -> int:
+    import json
+
+    a = build_web_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+    b = SparkSession.builder.appName("filtlong_spark_web")
+    if a.master:
+        b = b.master(a.master)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from . import fixtures as fx
+    from .config import FilterConfig
+    from .plans.pipeline import run_filter
+
+    cfg = FilterConfig(
+        min_length=a.min_length, max_length=a.max_length,
+        min_mean_q=a.min_mean_q, min_window_q=a.min_window_q,
+        keep_percent=a.keep_percent, target_chars=a.target_chars,
+        window_size=a.window_size, trim=a.trim, split=a.split,
+        pii_scrub=a.pii_scrub,
+        langid_enabled=a.langid is not None, langid_expected=a.langid,
+        canonical_url_dedup=a.canonical_url_dedup,
+        mode=a.mode, vocab=frozenset(fx.VOCAB),
+        output_ordering=a.output_ordering,
+        budget_algorithm="approx")
+    if a.input.endswith((".warc", ".warc.gz")) or "*" in a.input:
+        from .sources import warc
+        pages = warc.read_warc(spark, a.input)
+    else:
+        pages = spark.read.parquet(a.input)
+    ref = spark.read.parquet(a.ref) if a.ref else None
+    res = run_filter(spark, pages, cfg, ref_pages=ref,
+                     checkpoint_dir=a.checkpoint)
+    res.kept.write.mode("overwrite").parquet(a.out_dir)
+    n_kept = spark.read.parquet(a.out_dir).count()
+    print(json.dumps({**(res.metrics or {}), "kept_docs": n_kept,
+                      "out_dir": a.out_dir}, default=str),
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "web":
+        try:
+            return run_web(argv[1:])
+        except (ValueError, FileNotFoundError) as e:
+            print(str(e), file=sys.stderr)
+            return 1
     a = build_parser().parse_args(argv)
     if a.version:
         print(VERSION)

@@ -69,3 +69,35 @@ def test_cli_verbose_blocks(capsys, spark):
     out, err = capsys.readouterr()
     assert rc == 0
     assert "mean quality" in err  # per-read verbose block on stderr
+
+
+def test_web_subcommand_end_to_end(capsys, spark, tmp_path):
+    """The north_rule production surface: pages parquet in, survivor
+    parquet out, metrics JSON on stderr, checkpoint committed + resumed."""
+    import json
+    import os
+
+    from filtlong_spark import fixtures as fx
+    src = str(tmp_path / "pages_in")
+    fx.to_spark_df(spark, fx.volume(sf=0.0002)).write.parquet(src)
+    out = str(tmp_path / "web_out")
+    ck = str(tmp_path / "web_ck")
+    rc = cli.main(["web", src, "--out_dir", out, "--checkpoint", ck,
+                   "--min_length", "100", "--keep_percent", "80",
+                   "--trim", "--split", "40", "--pii_scrub",
+                   "--langid", "en"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    m = json.loads(err.strip().splitlines()[-1])
+    assert m["kept_docs"] > 0 and m["resumed"] is False
+    assert os.path.exists(os.path.join(ck, "lineage.json"))
+    n1 = spark.read.parquet(out).count()
+    # resume: same checkpoint skips scoring, same survivors
+    rc = cli.main(["web", src, "--out_dir", out, "--checkpoint", ck,
+                   "--min_length", "100", "--keep_percent", "80",
+                   "--trim", "--split", "40", "--pii_scrub",
+                   "--langid", "en"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    m2 = json.loads(err.strip().splitlines()[-1])
+    assert m2["resumed"] is True and m2["kept_docs"] == n1
