@@ -189,7 +189,10 @@ def main(argv=None) -> int:
     if argv and argv[0] == "web":
         try:
             return run_web(argv[1:])
-        except (ValueError, FileNotFoundError) as e:
+        except (ValueError, FileNotFoundError, RuntimeError) as e:
+            # RuntimeError: resume-safety refusals (torn checkpoint chain,
+            # manifest mismatch) and connected-components non-convergence
+            # keep the reference-style 'Error: ...' stderr + exit-1 contract
             print(str(e), file=sys.stderr)
             return 1
     a = build_parser().parse_args(argv)
@@ -201,7 +204,9 @@ def main(argv=None) -> int:
         return 1
     try:
         return _run(a)
-    except (ValueError, FileNotFoundError) as e:  # ConfigError is a ValueError
+    except (ValueError, FileNotFoundError, RuntimeError) as e:
+        # ConfigError is a ValueError; RuntimeError covers checkpoint-chain
+        # refusals so every failure keeps the 'Error: ...' contract
         print(str(e), file=sys.stderr)
         return 1
 

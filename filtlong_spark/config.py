@@ -89,10 +89,12 @@ class FilterConfig:
     langid_enabled: bool = False
     langid_expected: str | None = None     # quarantine docs whose pred != this
 
-    # budget algorithm: 'exact' (global window cumsum — correctness oracle)
-    # or 'approx' (score-histogram threshold + boundary-bucket refinement —
-    # the 100 TB path; SURVEY.md §2 F4)
-    budget_algorithm: str = "exact"
+    # budget algorithm: 'approx' (score-histogram threshold + boundary-
+    # bucket refinement — the 100 TB path and the DEFAULT; proven identical
+    # to 'exact' by tests/test_pipeline_spark.test_approx_budget_equals_exact)
+    # or 'exact' (one global window cumsum — a single task sorts every
+    # candidate row; keep as the opt-in correctness oracle only)
+    budget_algorithm: str = "approx"
 
     # survivor output ordering: 'global' (one total orderBy — the literal
     # stdout contract) or 'partitioned' (range-partition + sort within

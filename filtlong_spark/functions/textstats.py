@@ -75,10 +75,15 @@ def langid_df(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     from .. import core
     prof = core.trigram_profiles()
     langs = sorted(prof)
+    # filter docs < 3 chars BEFORE the position explode: F.sequence(1, 0)
+    # steps DOWNWARD in Spark (yields [1, 0] — junk 1-2 char rows) while
+    # DuckDB's generate_series(1, 0) is empty; filtering keeps both engines
+    # enumerating identical trigram rows (short docs rejoin via the left
+    # join below and score 0 -> 'und')
     tg = (docs.select(key, F.lower(F.col("text")).alias("lt"))
+          .filter(F.length("lt") >= 3)
           .select(key, F.explode(F.sequence(
-              F.lit(1), F.greatest(F.length("lt") - 2, F.lit(0))))
-              .alias("i"), "lt")
+              F.lit(1), F.length("lt") - 2)).alias("i"), "lt")
           .select(key, F.expr("substring(lt, i, 3)").alias("tg")))
     aggs = [F.sum(F.when(F.col("tg").isin(*prof[lang]), 1).otherwise(0))
             .alias(f"s_{lang}") for lang in langs]

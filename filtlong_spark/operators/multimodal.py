@@ -208,7 +208,14 @@ def decode_image_features(media: DataFrame, real: bool = False) -> DataFrame:
 
     def one(data: bytes) -> list[float]:
         if real and data[:8] == PNG_MAGIC:
-            return image_features_from_pixels(png_decode_pixels(data))
+            # crawled media is routinely truncated/corrupt: a decode
+            # failure must quarantine the one record (fall back to the
+            # byte-deterministic featurizer), never kill the stage —
+            # same posture as the pipeline's ingest quarantine
+            try:
+                return image_features_from_pixels(png_decode_pixels(data))
+            except Exception:
+                return _fake_decode_image(data)
         return _fake_decode_image(data)
 
     def mapper(batches):

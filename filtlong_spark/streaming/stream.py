@@ -98,16 +98,18 @@ def events_stream_sessions(spark: SparkSession, source_dir: str,
 
 def pages_stream_dedup(spark: SparkSession, source_dir: str,
                        watermark: str = "2 hours") -> DataFrame:
-    """Streaming EXACT dedup by url: watermarked dropDuplicates — state
-    holds one entry per url inside the watermark horizon, so re-crawled
-    pages within it are emitted once (the ingest-time dedup stage of a
-    crawl pipeline; cross-horizon dedup stays a batch job over the
-    committed table)."""
+    """Streaming EXACT dedup by url: dropDuplicatesWithinWatermark — state
+    holds one entry per url inside the watermark horizon and is EVICTED
+    once the watermark passes it, so re-crawled pages within the horizon
+    are emitted once while state stays bounded in a long-running stream
+    (plain dropDuplicates(["url"]) would never evict — the event-time
+    column isn't in the key — and grow one entry per url forever).
+    Cross-horizon dedup stays a batch job over the committed table."""
     pages = (spark.readStream.schema(
         "url string, warc_ts timestamp, html binary, "
         "text string, lang string").parquet(source_dir))
     return (pages.withWatermark("warc_ts", watermark)
-            .dropDuplicates(["url"]))
+            .dropDuplicatesWithinWatermark(["url"]))
 
 
 def run_available_now(spark: SparkSession, source_dir: str,

@@ -118,6 +118,24 @@ def test_real_decode_from_actual_pixels(spark):
     assert row["features"] != pytest.approx(mm._fake_decode_image(data))
 
 
+def test_real_decode_quarantines_corrupt_png(spark):
+    """A truncated/corrupt PNG (crawled media routinely is) must NOT kill
+    the stage: the record falls back to the byte-deterministic featurizer
+    while intact records still decode from real pixels."""
+    px = _checker_pixels()
+    good = mm.png_encode(px)
+    corrupt = good[: len(good) // 2]          # truncated mid-IDAT
+    header_only = mm.make_png_bytes(4, 4)     # IHDR with no pixel data
+    media = spark.createDataFrame(
+        [(1, "image", good), (2, "image", corrupt), (3, "image", header_only)],
+        "doc_id long, kind string, media binary")
+    rows = {r["doc_id"]: r["features"]
+            for r in mm.decode_image_features(media, real=True).collect()}
+    assert rows[1] == pytest.approx(mm.image_features_from_pixels(px))
+    assert rows[2] == pytest.approx(mm._fake_decode_image(corrupt))
+    assert rows[3] == pytest.approx(mm._fake_decode_image(header_only))
+
+
 def test_frame_sampling_shape(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
     media = mm.attach_media_stub(docs)
