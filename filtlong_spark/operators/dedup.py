@@ -319,25 +319,52 @@ def simhash_band_pairs(fps: DataFrame,
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 60-bit simhash — bit b of md5's first 60 bits
     per token votes +1/-1 weighted by token multiplicity; fingerprint
-    bit = 1 iff the vote sum > 0. All JVM-side: tokens collapse to
-    (doc_id, h60, cnt) first (one partial+final agg — web tokens repeat
-    heavily, so the 60 per-bit vote aggregates then run over distinct
-    hashes, not token occurrences), weighted votes in a second small
-    agg. Integer votes -> identical values in the DuckDB oracle."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"))
-    h60 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
-                 16, 10).cast("long")
-    cnt = (toks.select("doc_id", h60.alias("h60"))
-           .groupBy("doc_id", "h60").agg(F.count("*").alias("c")))
-    votes = [F.sum(F.expr(f"CASE WHEN (shiftright(h60, {b}) & 1) = 1 "
-                          f"THEN c ELSE -c END")).alias(f"v{b}")
-             for b in range(SIMHASH_BITS)]
-    wide = cnt.groupBy("doc_id").agg(*votes)
-    fp = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0,
-                     F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
-    return wide.select("doc_id", fp.alias("simhash"))
+    bit = 1 iff the vote sum > 0. MAP-ONLY: one Arrow-batched numpy pass
+    per input partition hashes each DISTINCT token once (web tokens
+    repeat heavily), unpacks its 60 bits, and segment-sums the votes per
+    doc — a document is one row, so the whole fingerprint computes
+    without ANY shuffle (the previous explode + 60-wide conditional
+    aggregate paid two shuffles and a 60-column agg; at corpus scale
+    this is a pure scan). Integer votes + the identical md5-prefix hash
+    -> bit-identical values in the DuckDB oracle. Docs with zero tokens
+    emit no row (same semantics as the aggregate formulation)."""
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+
+    def mapper(batches):
+        import hashlib
+
+        import numpy as np
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts)
+        for pdf in batches:
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            ids = np.asarray(pdf["doc_id"], dtype=np.int64)
+            tb = core.batch_tokenize(texts)
+            counts = np.asarray(tb.counts, dtype=np.int64)
+            nz = counts > 0
+            if not nz.any():
+                continue
+            codes, uniq = pd.factorize(
+                np.array(tb.tokens, dtype=object), sort=False)
+            h60 = np.fromiter(
+                (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                 for t in uniq), dtype=np.uint64, count=len(uniq))
+            # (U, 60) bit matrix for the distinct tokens, gathered back to
+            # token grain; vote[d, b] = 2*sum(bits) - n_tokens[d]
+            bits = ((h60[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            tok_bits = bits[codes]
+            offsets = np.concatenate(
+                ([0], np.cumsum(counts)))[:-1][nz]
+            seg = np.add.reduceat(tok_bits, offsets, axis=0)
+            votes = 2 * seg - counts[nz][:, None]
+            fp = ((votes > 0).astype(np.uint64) * weights[None, :]) \
+                .sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"doc_id": ids[nz], "simhash": fp})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        mapper, schema="doc_id long, simhash long")
