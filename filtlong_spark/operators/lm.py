@@ -9,15 +9,20 @@ never collect a model table:
 
   stage 1 (Python, narrow): tokenize each doc with char offsets
       (core.batch_tokenize), emit one row per token carrying (pos, prev,
-      start, end) + per-doc langid verdict + PII spans as sentinel rows —
-      the text itself never leaves this stage.
+      start, end) keyed by a compact int64 doc_key; per-doc metadata
+      (url, n_chars, langid verdict) rides ONE sentinel row per doc and
+      PII spans ride sentinel rows — the text itself never leaves this
+      stage, and the token-grain exchanges carry ints + the two join-key
+      strings, never the url/lang strings.
   joins (Catalyst): token stream LEFT JOIN pair counts (pre-enriched with
       the prev token's unigram count) and unigram counts. Pruned count
       tables broadcast via AQE; unpruned ones degrade gracefully to
-      shuffle joins — either way no driver collect.
-  stage 2 (Python, one shuffle on url): per-doc reassembly — mean/window
-      quality, trim/split/PII scrub, child re-scoring — from the token
-      goodness flags alone.
+      shuffle joins — either way no driver collect. The three goodness
+      verdicts pack into ONE tinyint before the reassembly shuffle.
+  stage 2 (Python, one shuffle on doc_key): per-doc reassembly —
+      mean/window quality, trim/split/PII scrub, child re-scoring — from
+      the packed token flags alone; when scrub is off the shuffled struct
+      drops the char offsets entirely (pos + flags, 5 bytes per token).
 
 Exactness: identical to the broadcast painter (and the pure-Python oracle)
 whenever lm_min_count == 1 and scrub cuts land on token boundaries. The
@@ -32,29 +37,47 @@ two documented approximations:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import FilterConfig
 from ..functions import scoring
 
-# stage-1 row kinds, encoded in pos: >=0 token, -1 doc sentinel (zero
-# tokens or langid-gated), -2 PII span
-TOK_SCHEMA = ("url string, n_chars long, lang_pred string, lang_ok boolean, "
-              "pos int, tok string, prev string, start int, end int")
+# stage-1 row kinds, encoded in pos: >=0 token, -1 doc sentinel (one per
+# doc, carrying url/n_chars/langid metadata), -2 PII span
+TOK_SCHEMA = ("doc_key long, url string, n_chars long, lang_pred string, "
+              "lang_ok boolean, pos int, tok string, prev string, "
+              "start int, end int")
 
 
-def lm_count_tables(ref_pages: DataFrame, min_count: int = 1
-                    ) -> tuple[DataFrame, DataFrame, int]:
-    """(c1(tok, c1), c2e(prev, tok, c2, c_prev), total) — distributed
-    bigram/unigram counting (<- src/kmers.cpp:142-166's counting,
-    reborn). (tok, prev) pairs are emitted MAP-ONLY by a vectorized
-    Arrow pass (prev = the preceding token within the doc, None at doc
-    start) — the lag-window formulation this replaces paid a full
-    shuffle+sort of every token row before the first count. ``total``
-    is the UNPRUNED token count (probability denominators must not move
-    when pruning). The pair table is pre-joined with the prev token's
-    unigram count so the scoring stream needs only two joins."""
+class LmCounts(NamedTuple):
+    """Count tables + the persisted intermediate that backs them (call
+    release() once the scoring job has materialized)."""
+    c1: DataFrame        # (tok, c1) — pruned unigram counts
+    c2e: DataFrame       # (prev, tok, c2, c_prev) — pruned pair counts
+    total: int           # UNPRUNED token total (denominators never move)
+    cache: DataFrame | None = None
+
+    def release(self) -> None:
+        if self.cache is not None:
+            self.cache.unpersist()
+
+
+def lm_count_tables(ref_pages: DataFrame, min_count: int = 1,
+                    persist: bool = True) -> LmCounts:
+    """Distributed bigram/unigram counting (<- src/kmers.cpp:142-166's
+    counting, reborn). ONE token-grain aggregation feeds everything: the
+    Arrow tokenizer emits (tok, prev) pairs map-only (prev = preceding
+    token within the doc, None at doc start) and groupBy(prev, tok) —
+    WITH the null-prev doc-start rows — collapses them to bigram-vocab
+    grain. That table is persisted, so the unigram counts, the unpruned
+    total, and the pair table all derive from it without re-running the
+    Python tokenize pass (previously each consumer re-tokenized the whole
+    reference corpus). ``total`` is the UNPRUNED token count; the pair
+    table is pre-joined with the prev token's unigram count so the
+    scoring stream needs only two joins."""
     scoring._register_self_contained_pickling()
     from .. import core  # definition-time capture -> pickled by value
 
@@ -80,17 +103,23 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1
 
     toks = ref_pages.select("text").mapInPandas(
         bigram_mapper, schema="tok string, prev string")
-    c1_all = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    # every token occurrence is exactly one (prev, tok) row (prev null at
+    # doc start), so this one aggregate carries the full model
+    c2_all = toks.groupBy("prev", "tok").agg(F.count("*").alias("c"))
+    if persist:
+        c2_all = c2_all.persist()
+    c1_all = c2_all.groupBy("tok").agg(F.sum("c").alias("c1"))
+    # materializes c2_all into the cache; later jobs re-derive from it
     total = int(c1_all.agg(F.sum("c1")).collect()[0][0] or 0)
     c1 = c1_all.filter(F.col("c1") >= min_count)
-    c2 = (toks.filter(F.col("prev").isNotNull())
-          .groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c2 = (c2_all.filter(F.col("prev").isNotNull())
+          .select("prev", "tok", F.col("c").alias("c2"))
           .filter(F.col("c2") >= min_count))
     # consistency: a pair whose prev got pruned is pruned too (its c_prev
     # would be absent); inner join enforces it
     c1p = c1.select(F.col("tok").alias("prev"), F.col("c1").alias("c_prev"))
     c2e = c2.join(c1p, "prev")
-    return c1, c2e, total
+    return LmCounts(c1, c2e, total, c2_all if persist else None)
 
 
 # broadcast budget: a pruned model above this many entries (unigrams +
@@ -100,22 +129,39 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1
 LM_BROADCAST_MAX_ENTRIES = 2_000_000
 
 
-def choose_strategy(ref_pages: DataFrame | None, cfg: FilterConfig,
-                    max_entries: int = LM_BROADCAST_MAX_ENTRIES) -> str:
-    """Resolve lm_strategy='auto': 'broadcast' when the min_count-PRUNED
-    model fits the broadcast budget, else 'distributed'. One small count
-    job over the (build-side) reference corpus — a planning step, like a
+def plan_lm(ref_pages: DataFrame | None, cfg: FilterConfig,
+            max_entries: int = LM_BROADCAST_MAX_ENTRIES
+            ) -> tuple[str, LmCounts | None]:
+    """Resolve lm_strategy='auto' AND hand back the count tables the
+    planning pass already built (persisted), so the chosen path — either
+    the token-grain joins or the broadcast collect — reuses them instead
+    of re-counting the reference corpus. One small count job, like a
     join-side size estimate."""
     if ref_pages is None:
-        return "distributed"  # downstream raises the clear error
-    c1, c2e, _ = lm_count_tables(ref_pages, cfg.lm_min_count)
-    one = F.lit(1).alias("one")
-    n_entries = c1.select(one).unionAll(c2e.select(one)).count()
-    return "broadcast" if n_entries <= max_entries else "distributed"
+        return "distributed", None  # downstream raises the clear error
+    tables = lm_count_tables(ref_pages, cfg.lm_min_count)
+    n_entries = tables.c1.count() + tables.c2e.count()
+    strategy = ("broadcast" if n_entries <= max_entries else "distributed")
+    return strategy, tables
+
+
+def choose_strategy(ref_pages: DataFrame | None, cfg: FilterConfig,
+                    max_entries: int = LM_BROADCAST_MAX_ENTRIES) -> str:
+    """Planning-only wrapper over plan_lm (releases the tables)."""
+    strategy, tables = plan_lm(ref_pages, cfg, max_entries)
+    if tables is not None:
+        tables.release()
+    return strategy
 
 
 def make_token_mapper(cfg: FilterConfig):
-    """Stage 1: (url, text) -> token rows with offsets + langid + PII."""
+    """Stage 1: (doc_key, url, text) -> token rows + per-doc sentinel.
+
+    Token rows carry ONLY (doc_key, pos, tok, prev, start, end) — the
+    url/lang/n_chars metadata would otherwise ride every token through
+    the two count joins and the reassembly shuffle; it rides the single
+    pos=-1 sentinel row per doc instead and re-attaches in the final
+    doc-grain aggregate."""
     scoring._register_self_contained_pickling()
     langid = cfg.langid_enabled
     lang_expected = cfg.langid_expected
@@ -126,13 +172,14 @@ def make_token_mapper(cfg: FilterConfig):
     # --py-files)
     from .. import core
 
-    COLS = ("url", "n_chars", "lang_pred", "lang_ok",
+    COLS = ("doc_key", "url", "n_chars", "lang_pred", "lang_ok",
             "pos", "tok", "prev", "start", "end")
 
     def mapper(batches):
         import numpy as np
         import pandas as pd
         for pdf in batches:
+            keys = np.asarray(pdf["doc_key"], dtype=np.int64)
             urls = np.array(pdf["url"].tolist(), dtype=object)
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
             nd = len(texts)
@@ -151,36 +198,37 @@ def make_token_mapper(cfg: FilterConfig):
             offsets = np.concatenate(([0], np.cumsum(counts)))
             total = int(offsets[-1])
 
-            # token rows — fully vectorized (no per-token Python): gather
-            # by a boolean token mask; pos = global index - doc offset;
-            # prev = the previous flat token wherever pos > 0
-            keep_doc = ~gated & (counts > 0)
-            idx = np.nonzero(keep_doc[doc_of])[0]
-            toks_arr = np.array(tb.tokens, dtype=object)
-            pos = (np.arange(total, dtype=np.int64) - offsets[doc_of])[idx]
-            prev_col = np.empty(len(idx), dtype=object)
-            prev_col[:] = None
-            nz = pos > 0
-            prev_col[nz] = toks_arr[idx[nz] - 1]
-            tdoc = doc_of[idx]
+            # doc sentinels (pos=-1): ONE per doc, carrying all metadata
             frames = [pd.DataFrame({
-                "url": urls[tdoc], "n_chars": n_chars[tdoc],
-                "lang_pred": pred[tdoc], "lang_ok": ~gated[tdoc],
-                "pos": pos, "tok": toks_arr[idx], "prev": prev_col,
-                "start": np.asarray(tb.starts, dtype=np.int64)[idx],
-                "end": np.asarray(tb.ends, dtype=np.int64)[idx],
+                "doc_key": keys, "url": urls, "n_chars": n_chars,
+                "lang_pred": pred, "lang_ok": ~gated,
+                "pos": np.full(nd, -1, dtype=np.int64),
+                "tok": None, "prev": None,
+                "start": np.zeros(nd, dtype=np.int64),
+                "end": np.zeros(nd, dtype=np.int64),
             }, columns=list(COLS))]
 
-            # doc sentinels (pos=-1): gated or zero-token docs
-            sdocs = np.nonzero(gated | (counts == 0))[0]
-            if len(sdocs):
+            # token rows — fully vectorized (no per-token Python): gather
+            # by a boolean token mask; pos = global index - doc offset;
+            # prev = the previous flat token wherever pos > 0. Metadata
+            # columns stay null (the sentinel carries them).
+            keep_doc = ~gated & (counts > 0)
+            idx = np.nonzero(keep_doc[doc_of])[0]
+            if len(idx):
+                toks_arr = np.array(tb.tokens, dtype=object)
+                pos = (np.arange(total, dtype=np.int64)
+                       - offsets[doc_of])[idx]
+                prev_col = np.empty(len(idx), dtype=object)
+                prev_col[:] = None
+                nz = pos > 0
+                prev_col[nz] = toks_arr[idx[nz] - 1]
+                tdoc = doc_of[idx]
                 frames.append(pd.DataFrame({
-                    "url": urls[sdocs], "n_chars": n_chars[sdocs],
-                    "lang_pred": pred[sdocs], "lang_ok": ~gated[sdocs],
-                    "pos": np.full(len(sdocs), -1, dtype=np.int64),
-                    "tok": None, "prev": None,
-                    "start": np.zeros(len(sdocs), dtype=np.int64),
-                    "end": np.zeros(len(sdocs), dtype=np.int64),
+                    "doc_key": keys[tdoc], "url": None,
+                    "n_chars": None, "lang_pred": None, "lang_ok": None,
+                    "pos": pos, "tok": toks_arr[idx], "prev": prev_col,
+                    "start": np.asarray(tb.starts, dtype=np.int64)[idx],
+                    "end": np.asarray(tb.ends, dtype=np.int64)[idx],
                 }, columns=list(COLS)))
 
             # PII sentinels (pos=-2): per-doc Python only for the docs
@@ -190,8 +238,8 @@ def make_token_mapper(cfg: FilterConfig):
                 for d in np.nonzero(keep_doc)[0]:
                     if core.pii_possible(texts[d]):
                         for (s, e) in core.pii_spans(texts[d]):
-                            rows.append((urls[d], n_chars[d], pred[d],
-                                         True, -2, None, None, s, e))
+                            rows.append((keys[d], None, None, None, None,
+                                         -2, None, None, s, e))
                 if rows:
                     frames.append(pd.DataFrame(rows, columns=list(COLS)))
             yield (pd.concat(frames, ignore_index=True)
@@ -204,7 +252,10 @@ def paint_goodness(tok_rows: DataFrame, c1: DataFrame, c2e: DataFrame,
                    total: int, threshold: float) -> DataFrame:
     """Catalyst rendering of core.bigram_prob + threshold painting: two
     LEFT joins + a CASE. All probabilities are ratios of exact integer
-    counts -> doubles identical to the Python painter bit-for-bit.
+    counts -> doubles identical to the Python painter bit-for-bit. The
+    three goodness verdicts pack into one tinyint (bit 0 good, bit 1
+    good-as-first-token, bit 2 good-under-unigram-backoff), so the
+    reassembly shuffle carries 1 byte instead of 3 booleans.
 
     Skew note: when the pruned count tables fit the broadcast threshold,
     AQE turns both joins into broadcasts and token-key skew is moot. In
@@ -230,10 +281,12 @@ def paint_goodness(tok_rows: DataFrame, c1: DataFrame, c2e: DataFrame,
     good_backoff = (F.col("c1").isNotNull()
                     & ((F.lit(0.4) * p_uni) >= F.lit(threshold))) \
         | (F.col("c1").isNull() & F.lit(eps_good))
+    flags = (F.when(good, 1).otherwise(0)
+             + F.when(good_first, 2).otherwise(0)
+             + F.when(good_backoff, 4).otherwise(0)).cast("tinyint")
     return j.select(
-        "url", "n_chars", "lang_pred", "lang_ok", "pos", "start", "end",
-        good.alias("good"), good_first.alias("good_first"),
-        good_backoff.alias("good_backoff"))
+        "doc_key", "url", "n_chars", "lang_pred", "lang_ok",
+        "pos", "start", "end", flags.alias("flags"))
 
 
 def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
@@ -241,7 +294,9 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
     arrays extracted from the sorted struct array — codegen field
     extraction, so Arrow ships primitive lists and the mapper works on
     numpy, never on per-token dicts) -> READS2 rows, sharing
-    core.compute_bad_ranges/finalize_scrub with every other path."""
+    core.compute_bad_ranges/finalize_scrub with every other path. When
+    scrub is off the struct has no start/end columns — the mapper only
+    needs (pos, flags) for mean/window quality."""
     scoring._register_self_contained_pickling()
     from .. import core  # definition-time capture -> pickled by value
     window_size = cfg.window_size
@@ -281,25 +336,28 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
         import pandas as pd
         for pdf in batches:
             rows = []
-            for (url, n_chars, lang_pred, lang_ok, pos, start, end, good,
-                 gfirst, gback) in zip(
+            starts_it = pdf["start"] if scrub else pdf["pos"]
+            ends_it = pdf["end"] if scrub else pdf["pos"]
+            for (url, n_chars, lang_pred, lang_ok, pos, start, end,
+                 flags) in zip(
                     pdf["url"], pdf["n_chars"], pdf["lang_pred"],
-                    pdf["lang_ok"], pdf["pos"], pdf["start"], pdf["end"],
-                    pdf["good"], pdf["good_first"], pdf["good_backoff"]):
+                    pdf["lang_ok"], pdf["pos"], starts_it, ends_it,
+                    pdf["flags"]):
                 n = int(n_chars)
                 if not lang_ok:
                     rows.append((url, url, n, 0, 0.0, 0.0, 1.0, 0, n,
                                  False, lang_pred, False))
                     continue
                 pos = np.asarray(pos, dtype=np.int64)
-                start = np.asarray(start, dtype=np.int64)
-                end = np.asarray(end, dtype=np.int64)
+                fl = np.asarray(flags, dtype=np.int8)
                 tok_m = pos >= 0
-                starts, ends = start[tok_m], end[tok_m]
-                q = np.asarray(good, dtype=np.float64)[tok_m]
+                q = (fl[tok_m] & 1).astype(np.float64)
                 mq = core.mean_quality(q)
                 wq = core.window_quality(q, window_size)
                 if scrub:
+                    start = np.asarray(start, dtype=np.int64)
+                    end = np.asarray(end, dtype=np.int64)
+                    starts, ends = start[tok_m], end[tok_m]
                     pii_m = pos == -2
                     pii_sp = (list(zip(start[pii_m].tolist(),
                                        end[pii_m].tolist()))
@@ -310,8 +368,9 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
                         core.compute_bad_ranges(spans_q, trim, split, n,
                                                 pii_sp), n)
                     if res.changed:
-                        gfirst_a = np.asarray(gfirst, dtype=bool)[tok_m]
-                        gback_a = np.asarray(gback, dtype=bool)[tok_m]
+                        tf = fl[tok_m]
+                        gfirst_a = (tf & 2) > 0
+                        gback_a = (tf & 4) > 0
                         good_a = q > 0.0
                         for (s, e) in res.child_spans:
                             cq = np.array(child_quality(
@@ -334,33 +393,40 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
 
 def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
                                 cfg: FilterConfig,
-                                ref_pages: DataFrame) -> DataFrame:
+                                ref_pages: DataFrame,
+                                tables: LmCounts | None = None) -> DataFrame:
     """Drop-in replacement for score_op.score_and_scrub in bigram_lm mode:
     same READS2 output columns (+ length_s, hard_passed), zero model
-    collect."""
-    if ref_pages is None:
-        raise ValueError("bigram_lm mode requires a reference corpus DataFrame")
-    c1, c2e, total = lm_count_tables(ref_pages, cfg.lm_min_count)
-    tok_rows = pages.select("url", "text").mapInPandas(
-        make_token_mapper(cfg), schema=TOK_SCHEMA)
+    collect. ``tables``: pre-built count tables (from plan_lm) to reuse
+    instead of re-counting the reference corpus."""
+    if tables is None:
+        if ref_pages is None:
+            raise ValueError(
+                "bigram_lm mode requires a reference corpus DataFrame")
+        tables = lm_count_tables(ref_pages, cfg.lm_min_count)
+    c1, c2e, total = tables.c1, tables.c2e, tables.total
+    scrub = cfg.trim or cfg.split is not None or cfg.pii_scrub
+    keyed = pages.select(
+        F.monotonically_increasing_id().alias("doc_key"), "url", "text")
+    tok_rows = keyed.mapInPandas(make_token_mapper(cfg), schema=TOK_SCHEMA)
     painted = paint_goodness(tok_rows, c1, c2e, total, cfg.lm_threshold)
-    # one shuffle on url; the sorted struct array is then split into
-    # PARALLEL primitive arrays (codegen field extraction) so the stage-2
-    # mapper receives numpy-friendly lists, not per-token dicts
-    grouped = (painted.groupBy("url")
-               .agg(F.max("n_chars").alias("n_chars"),
+    # one shuffle on the int64 doc_key (the hash-partial aggregate
+    # collapses each doc map-side first); the sorted struct array is then
+    # split into PARALLEL primitive arrays (codegen field extraction) so
+    # the stage-2 mapper receives numpy-friendly lists, not per-token
+    # dicts. Without scrub the struct drops start/end — Catalyst prunes
+    # them below both count joins, so the exchanges never carry them.
+    struct_cols = (["pos", "start", "end", "flags"] if scrub
+                   else ["pos", "flags"])
+    arr_cols = [F.col(f"toks.{c}").alias(c) for c in struct_cols]
+    grouped = (painted.groupBy("doc_key")
+               .agg(F.max("url").alias("url"),
+                    F.max("n_chars").alias("n_chars"),
                     F.max("lang_pred").alias("lang_pred"),
                     F.min("lang_ok").alias("lang_ok"),
-                    F.sort_array(F.collect_list(F.struct(
-                        "pos", "start", "end", "good", "good_first",
-                        "good_backoff"))).alias("toks"))
-               .select("url", "n_chars", "lang_pred", "lang_ok",
-                       F.col("toks.pos").alias("pos"),
-                       F.col("toks.start").alias("start"),
-                       F.col("toks.end").alias("end"),
-                       F.col("toks.good").alias("good"),
-                       F.col("toks.good_first").alias("good_first"),
-                       F.col("toks.good_backoff").alias("good_backoff")))
+                    F.sort_array(F.collect_list(F.struct(*struct_cols)))
+                    .alias("toks"))
+               .select("url", "n_chars", "lang_pred", "lang_ok", *arr_cols))
     eps_good = bool(total) and (1.0 / (10.0 * total) >= cfg.lm_threshold)
     reads2 = grouped.mapInPandas(make_reassemble_mapper(cfg, eps_good),
                                  schema=scoring.READS2_SCHEMA)

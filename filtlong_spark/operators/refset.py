@@ -39,33 +39,37 @@ def accepted_df(ref_pages: DataFrame, required_copies: int) -> DataFrame:
             .select("token", "cnt"))
 
 
-def bigram_lm_counts(ref_pages: DataFrame, min_count: int = 1):
+def bigram_lm_counts(ref_pages: DataFrame, min_count: int = 1,
+                     tables=None):
     """Bigram/unigram model for the LM quality mode's BROADCAST strategy:
     counting is fully distributed (operators/lm.lm_count_tables — shared
     with the join strategy), and only the min_count-PRUNED tables are
     collected into the broadcast payload, so the driver never holds more
-    than the prune bound admits. For corpora whose pruned model still
-    outgrows the driver, use lm_strategy='distributed' (token-grain joins,
-    zero collect)."""
+    than the prune bound admits. ``tables``: pre-built LmCounts (from
+    lm.plan_lm) to reuse instead of re-counting. For corpora whose pruned
+    model still outgrows the driver, use lm_strategy='distributed'
+    (token-grain joins, zero collect)."""
     from . import lm as lm_op
-    c1_df, c2e_df, total = lm_op.lm_count_tables(ref_pages, min_count)
-    c1 = {r["tok"]: r["c1"] for r in c1_df.collect()}
-    c2 = {(r["prev"], r["tok"]): r["c2"] for r in c2e_df.collect()}
-    return c2, c1, total
+    if tables is None:
+        tables = lm_op.lm_count_tables(ref_pages, min_count)
+    c1 = {r["tok"]: r["c1"] for r in tables.c1.collect()}
+    c2 = {(r["prev"], r["tok"]): r["c2"] for r in tables.c2e.collect()}
+    return c2, c1, tables.total
 
 
 def build_broadcast(spark: SparkSession, cfg: FilterConfig,
-                    ref_pages: DataFrame | None):
+                    ref_pages: DataFrame | None, lm_tables=None):
     """B4 build side: broadcast the quality-signal payload for sub-row-
     grain probing inside the scoring UDF (a broadcast semi-join at token
     grain): the vocabulary set, the corpus-built accepted set, or the
-    bigram LM counts."""
+    bigram LM counts (``lm_tables``: reuse pre-built count tables)."""
     if cfg.mode == "intrinsic":
         payload = set(cfg.vocab)
     elif cfg.mode == "bigram_lm":
-        if ref_pages is None:
+        if ref_pages is None and lm_tables is None:
             raise ValueError("bigram_lm mode requires a reference corpus DataFrame")
-        c2, c1, total = bigram_lm_counts(ref_pages, cfg.lm_min_count)
+        c2, c1, total = bigram_lm_counts(ref_pages, cfg.lm_min_count,
+                                         tables=lm_tables)
         payload = ("lm", c2, c1, total, cfg.lm_threshold)
     else:
         if ref_pages is None:

@@ -145,24 +145,34 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         if ing.valid.rdd.getNumPartitions() < par:
             valid = valid.repartition(par)
 
-        lm_strategy = None
+        lm_strategy, lm_tables = None, None
         if cfg.mode == "bigram_lm":
             from ..operators import lm as lm_op
             lm_strategy = cfg.lm_strategy
             if lm_strategy == "auto":
                 # planning step: broadcast iff the pruned model fits the
-                # budget (one count job over the build-side ref corpus)
-                lm_strategy = lm_op.choose_strategy(ref_pages, cfg)
+                # budget (one count job over the build-side ref corpus);
+                # the tables it builds are persisted and REUSED by the
+                # chosen path below — the model is only counted once
+                lm_strategy, lm_tables = lm_op.plan_lm(ref_pages, cfg)
+            elif ref_pages is not None:
+                lm_tables = lm_op.lm_count_tables(ref_pages,
+                                                  cfg.lm_min_count)
         if lm_strategy == "distributed":
             # LM scale path: token-grain Catalyst joins against the count
             # tables — the model is never collected anywhere
             scored = lm_op.score_and_scrub_distributed(
-                spark, valid, cfg, ref_pages)
+                spark, valid, cfg, ref_pages, tables=lm_tables)
         else:
-            accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages)
+            accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages,
+                                                    lm_tables=lm_tables)
             scored = score_op.score_and_scrub(valid, cfg, accepted_bc)
         reads2, _ = output_op.checkpoint(
             scored, spark, os.path.join(scratch, "reads2"), resume=False)
+        if lm_tables is not None:
+            # the committed snapshot is materialized — the cached count
+            # tables have served both the planning pass and the scoring job
+            lm_tables.release()
         try:
             total_input_chars = obs.get["total_chars"] or 0
         except Exception:
