@@ -398,6 +398,23 @@ def q_ann_lsh(spark, sf_dir):
             .orderBy("probe_id", "vec_id"))
 
 
+IVF_PROBE_MAX = 20
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k: deterministic sample-trained coarse
+    quantizer, one inverted list per corpus vector, nprobe multi-probe
+    fan-out, list equi-join (never a cross product), exact-cosine re-rank.
+    Assignment uses round(dot(raw vec, normalized centroid), 6) with
+    lowest-list ties, so the DuckDB oracle — which embeds the identical
+    trained centroids as literals (similarity.ivf_train_matrix is pure
+    numpy over the first 4096 vectors in vec_id order) — reproduces every
+    list assignment, probe fan-out, candidate set, and rank exactly."""
+    return (sim_op.ann_ivf_topk(_emb(spark, sf_dir),
+                                probe_max_id=IVF_PROBE_MAX, k=5)
+            .orderBy("probe_id", "rank"))
+
+
 def q_pipeline_labels(spark, sf_dir):
     """The FULL pipeline (scoring + split scrub + child re-scoring +
     normalization + keep_percent budget) over the documents table mapped
@@ -567,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "pipeline_labels": q_pipeline_labels,
         "pii_stats": q_pii_stats,
         "events_rollup": q_events_rollup,
@@ -1188,6 +1206,76 @@ WHERE cos >= 0.3 ORDER BY probe_id, vec_id""")
         _lsh_pairs_sql(_BOW_SRC, sim_op.BAND_BITS, center=True) + """
 SELECT probe_id, vec_id, cos FROM pairs
 WHERE cos >= 0.99 ORDER BY probe_id, vec_id""")
+
+    # IVF oracle: the trained centroids are a DETERMINISTIC function of
+    # the embeddings table (pure-numpy k-means over the first 4096 vectors
+    # in vec_id order — similarity.ivf_train_matrix, shared verbatim), so
+    # they embed as literals the same way the LSH plane matrix does. The
+    # oracle is built against the driver's comparison scale
+    # ($SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01): DuckDB independently
+    # recomputes every dot product, list assignment, probe fan-out,
+    # candidate join, cosine, and rank from those literals.
+    import numpy as np
+    import pyarrow.parquet as pq
+    _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                          "/root/testdata/sf0.01")
+    _edf = (pq.read_table(os.path.join(_osf, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+            .to_pandas().sort_values("vec_id").head(4096))
+    _C = sim_op.ivf_train_matrix(
+        np.array(list(_edf["embedding"]), dtype=np.float64))
+    _cent_values = ", ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(v)) for v in _C[j]))
+        for j in range(len(_C)))
+    sql["ann_ivf"] = f"""
+WITH e AS ({_EMB_SRC}),
+cent(cid, c) AS (VALUES {_cent_values}),
+dots AS (
+  SELECT e.vec_id, cent.cid,
+         round(list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(e.v)),
+                          i -> e.v[i] * cent.c[i])), (a,b) -> a + b), 6)
+           AS d
+  FROM e CROSS JOIN cent
+),
+ranked_lists AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d DESC, cid ASC) AS rn
+  FROM dots
+),
+assigned AS (SELECT vec_id, cid AS list_id FROM ranked_lists WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS probe_id, cid AS list_id FROM ranked_lists
+  WHERE vec_id <= {IVF_PROBE_MAX} AND rn <= {sim_op.IVF_NPROBE}
+),
+cand AS (
+  SELECT p.probe_id, a.vec_id
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE p.probe_id != a.vec_id
+),
+pairs AS (
+  SELECT cand.probe_id, cand.vec_id,
+         round(
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(pe.v)),
+                            i -> pe.v[i] * ce.v[i])), (a,b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                list_transform(pe.v, x -> x*x)), (a,b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0,
+                list_transform(ce.v, x -> x*x)), (a,b) -> a + b))), 6)
+           AS cos
+  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+            JOIN e ce ON ce.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT probe_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank"""
 
     sql["ann_topk"] = (_COS_PAIR_SQL.format(probe_max=10) + """
 , ranked AS (

@@ -295,19 +295,17 @@ IVF_LISTS = 16
 IVF_NPROBE = 4
 
 
-def ivf_train(emb: DataFrame, n_lists: int = IVF_LISTS,
-              sample: int = 4096, iters: int = 10):
-    """Train the coarse quantizer: deterministic mini k-means (spherical —
-    assignment by max cosine) over a driver-side SAMPLE (the standard IVF
-    recipe: the index trains on a sample, assignment scans the corpus).
-    Init = first n_lists sample vectors in vec_id order; empty clusters
-    keep their previous centroid. Returns a normalized (n_lists, dim)
-    numpy matrix."""
+def ivf_train_matrix(X, n_lists: int = IVF_LISTS, iters: int = 10):
+    """Pure-numpy deterministic mini k-means (spherical — assignment by
+    max cosine) over a sample matrix. Init = first n_lists rows; empty
+    clusters keep their previous centroid. Returns a normalized
+    (n_lists, dim) float64 matrix. Shared verbatim with the DuckDB
+    oracle builder in __spark_entry__.py — identical input rows give
+    bit-identical centroids, which is what lets the oracle SQL embed
+    them as literals."""
     import numpy as np
-    rows = (emb.orderBy("vec_id").limit(sample)
-            .select("embedding").collect())
-    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.asarray(X, dtype=np.float64)
+    Xn = X / _safe_norms(X)[:, None]
     k = min(n_lists, len(Xn))
     C = Xn[:k].copy()
     for _ in range(iters):
@@ -323,9 +321,27 @@ def ivf_train(emb: DataFrame, n_lists: int = IVF_LISTS,
     return C
 
 
+def ivf_train(emb: DataFrame, n_lists: int = IVF_LISTS,
+              sample: int = 4096, iters: int = 10):
+    """Train the coarse quantizer over a driver-side SAMPLE (the standard
+    IVF recipe: the index trains on a sample, assignment scans the
+    corpus) — first ``sample`` vectors in vec_id order, so index builds
+    are repeatable across runs/retries."""
+    import numpy as np
+    rows = (emb.orderBy("vec_id").limit(sample)
+            .select("embedding").collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ivf_train_matrix(X, n_lists, iters)
+
+
 def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
-    """(vec_id, list_id, en): one numpy mapInPandas pass assigns every
-    vector to its nearest centroid (BLAS matmul per Arrow batch)."""
+    """(vec_id, list_id): one numpy mapInPandas pass assigns every vector
+    to its nearest centroid. Nearness = dot(RAW embedding, normalized
+    centroid) — the argmax is identical to max-cosine (the row norm is a
+    positive constant) but skips the row normalization whose summation
+    order differs between engines. Dots are rounded to 6dp before the
+    argmax (ties -> lowest centroid id), so the DuckDB oracle reproduces
+    every assignment exactly."""
     import numpy as np
     import pandas as pd
 
@@ -339,25 +355,31 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
             if not len(pdf):
                 continue
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            En = E / _safe_norms(E)[:, None]
-            lists = (En @ C.T).argmax(axis=1).astype(np.int64)
+            sims = np.round(E @ C.T, 6)
+            # argmax takes the FIRST max -> lowest centroid id on ties
+            lists = sims.argmax(axis=1).astype(np.int64)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "list_id": lists, "en": list(En)})
+                                "list_id": lists})
 
     return emb.select("vec_id", "embedding").mapInPandas(
-        mapper, schema="vec_id long, list_id long, en array<double>")
+        mapper, schema="vec_id long, list_id long")
 
 
 def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
                  n_lists: int = IVF_LISTS, nprobe: int = IVF_NPROBE
                  ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in ONE inverted list each;
-    probes fan out to their nprobe nearest lists (multi-probe) and join
-    only those lists — an equi-join on list_id, never a cross product.
-    Exact cosines + top-k re-rank on candidates."""
+    probes fan out to their nprobe nearest lists (multi-probe, by the
+    same rounded centroid dot with stable ties) and join only those
+    lists — an equi-join on list_id, never a cross product. Exact
+    cosines + top-k re-rank on candidates. Deterministic end-to-end and
+    mirrored by the ann_ivf DuckDB oracle."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
 
     C = ivf_train(emb, n_lists)
     assigned = ivf_assign(emb, C)
@@ -368,16 +390,18 @@ def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
         for pdf in batches:
             if not len(pdf):
                 continue
-            P = np.array(list(pdf["en"]), dtype=np.float64)
-            order = np.argsort(-(P @ Cv.T), axis=1)[:, :np_probe]
+            P = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = np.round(P @ Cv.T, 6)
+            # stable sort on -sims -> ties resolve to the lower list id
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_probe]
             ids = np.repeat(pdf["vec_id"].to_numpy(), order.shape[1])
             yield pd.DataFrame({
                 "probe_id": ids,
                 "list_id": order.reshape(-1).astype(np.int64),
             })
 
-    probes = (assigned.filter(F.col("vec_id") <= probe_max_id)
-              .select("vec_id", "en")
+    probes = (emb.filter(F.col("vec_id") <= probe_max_id)
+              .select("vec_id", "embedding")
               .mapInPandas(probe_mapper,
                            schema="probe_id long, list_id long"))
     cand = (assigned.join(probes.select("probe_id", "list_id"), "list_id")
