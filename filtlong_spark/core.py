@@ -533,7 +533,12 @@ def child_name(url: str, start: int, end: int) -> str:
 # mirrors exactly. fastText remains the production swap-in slot.
 # ---------------------------------------------------------------------------
 
-# self-written ASCII sample sentences (generic prose, ~330 chars each)
+# self-written sample sentences (generic prose, ~250-330 chars each).
+# Latin-script samples are ASCII; ru/zh/ar exercise the non-Latin path —
+# char trigrams need no tokenization, so CJK (no word spaces) works with
+# the same machinery (_trigram_key packs any Unicode scalar exactly:
+# 21 bits per codepoint). Profiles stay literal tables the DuckDB oracle
+# mirrors; fastText remains the production swap-in slot.
 LANG_SAMPLES = {
     "en": ("the quick brown fox jumps over the lazy dog and then the small "
            "children walk to the old school while the morning light falls "
@@ -559,6 +564,34 @@ LANG_SAMPLES = {
            "lisent leurs livres et parlent du temps avec leurs amis parce "
            "que la journee est longue et le travail est fait et tout dans "
            "la ville semble calme et simple"),
+    "it": ("la rapida volpe marrone salta sopra il cane pigro e poi i "
+           "piccoli bambini camminano verso la vecchia scuola mentre la "
+           "luce del mattino cade sulla strada tranquilla dove la gente "
+           "legge i suoi libri e parla del tempo con i suoi amici perche "
+           "la giornata e lunga e il lavoro e finito e tutto nel paese "
+           "sembra calmo e semplice"),
+    "pt": ("a rapida raposa marrom salta sobre o cao preguicoso e depois "
+           "as criancas pequenas caminham para a velha escola enquanto a "
+           "luz da manha cai sobre a rua tranquila onde as pessoas leem "
+           "os seus livros e falam do tempo com os seus amigos porque o "
+           "dia e longo e o trabalho esta feito e tudo na cidade parece "
+           "calmo e simples"),
+    "ru": ("быстрая коричневая лиса прыгает через ленивую собаку а потом "
+           "маленькие дети идут в старую школу пока утренний свет падает "
+           "на тихую улицу где люди читают свои книги и говорят о погоде "
+           "со своими друзьями потому что день длинный и работа сделана "
+           "и все в городе кажется спокойным и простым"),
+    "zh": ("敏捷的棕色狐狸跳过了懒惰的狗然后小孩子们走向古老的学校清晨的"
+           "阳光落在安静的街道上人们在那里读着他们的书并和朋友们谈论天气"
+           "因为白天很长而工作已经完成小镇上的一切都显得平静而简单春天的"
+           "风吹过田野河水慢慢流向远方老人坐在门前看着孩子们玩耍市场里的"
+           "人们买菜做饭晚上的灯光照亮了每一扇窗户大家安静地休息等待新的"
+           "一天开始明天的早晨还会有同样的阳光和同样的街道"),
+    "ar": ("الثعلب البني السريع يقفز فوق الكلب الكسول ثم يمشي الاطفال "
+           "الصغار الى المدرسة القديمة بينما يسقط ضوء الصباح على الشارع "
+           "الهادئ حيث يقرا الناس كتبهم ويتحدثون عن الطقس مع اصدقائهم "
+           "لان النهار طويل والعمل قد انجز وكل شيء في المدينة يبدو "
+           "هادئا وبسيطا"),
 }
 
 TRIGRAM_TOP_K = 200

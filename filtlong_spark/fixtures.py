@@ -255,6 +255,14 @@ def langid_suite() -> list[dict]:
         "es": ("los amigos caminan por el pueblo tranquilo por la manana "
                "y los ninos leen sus libros favoritos sobre el tiempo y "
                "el trabajo"),
+        "ru": ("друзья гуляют по тихому городу утром и дети читают свои "
+               "любимые книги о погоде и работе пока свет падает на "
+               "улицу"),
+        "zh": ("朋友们早上在安静的小镇里散步孩子们读着他们喜欢的关于天气"
+               "和工作的书本清晨的街道上一切都很平静"),
+        "ar": ("يمشي الاصدقاء في المدينة الهادئة صباحا ويقرا الاطفال "
+               "كتبهم المفضلة عن الطقس والعمل بينما يسقط الضوء على "
+               "الشارع"),
     }
     return [_row(f"https://fixture.test/lang/{lang}", " ".join([txt] * 3),
                  lang, i)

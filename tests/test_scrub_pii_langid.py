@@ -96,9 +96,27 @@ class TestLangidCore:
 
     def test_profiles_deterministic(self):
         p1 = core.trigram_profiles()
-        assert len(p1) == 4
-        assert all(len(v) == core.TRIGRAM_TOP_K for v in p1.values())
+        assert len(p1) == 9
+        # zh's sample has fewer distinct trigrams than TOP_K (every char
+        # trigram is near-unique) — profiles are capped, not padded
+        assert all(0 < len(v) <= core.TRIGRAM_TOP_K for v in p1.values())
         assert p1 == core.trigram_profiles()
+
+    def test_non_latin_scripts_classify(self):
+        """CJK (no word spaces), Cyrillic and Arabic all classify — char
+        trigrams need no tokenization; a non-Latin doc must never fall
+        through to 'und' (which the langid_expected gate would then
+        mass-reject)."""
+        assert core.predict_lang(
+            "дети читают свои книги утром в городе")[0] == "ru"
+        assert core.predict_lang("孩子们早晨在学校读着他们的书")[0] == "zh"
+        assert core.predict_lang(
+            "يقرا الاطفال كتبهم في الصباح في المدينة")[0] == "ar"
+        # Latin-script additions too
+        assert core.predict_lang(
+            "i bambini leggono i loro libri al mattino")[0] == "it"
+        assert core.predict_lang(
+            "as criancas leem os seus livros pela manha")[0] == "pt"
 
 
 class TestPipeline:
@@ -125,10 +143,20 @@ class TestPipeline:
         rejected = {r["url"]: r["lang_pred"]
                     for r in res_s.lang_rejected.collect()}
         assert rejected == {
-            "https://fixture.test/lang/de": "de",
-            "https://fixture.test/lang/fr": "fr",
-            "https://fixture.test/lang/es": "es",
-        }
+            f"https://fixture.test/lang/{lang}": lang
+            for lang in ("de", "fr", "es", "ru", "zh", "ar")}
+
+    def test_langid_gate_non_latin_expected(self, spark):
+        """langid_expected='zh': the CJK doc survives the gate — a
+        non-Latin corpus is NOT mass-rejected (round-3 failure mode:
+        everything non-European classified 'und')."""
+        rows = fx.langid_suite()
+        cfg = dict(langid_enabled=True, langid_expected="zh", min_length=1)
+        res_o = oracle.run_pipeline(rows, _cfg(**cfg))
+        res_s = run_filter(spark, fx.to_spark_df(spark, rows), _cfg(**cfg))
+        got = sorted(r["url"] for r in res_s.kept.collect())
+        exp = sorted(d.url for d in res_o.kept)
+        assert got == exp == ["https://fixture.test/lang/zh"]
 
     def test_pii_with_quality_split_combined(self, spark):
         rows = fx.split_suite() + fx.pii_suite()
