@@ -479,13 +479,14 @@ def q_events_sessions(spark, sf_dir):
 def _noisy_urls(spark, sf_dir):
     """Deterministic crawl-noise url variants derived from the documents
     table (test scaffolding for the canonicalizer: upper-cased hosts,
-    fragments, default ports, tracking params, trailing slashes;
+    fragments, default ports, tracking params, trailing slashes,
+    percent-encoded unreserved chars, duplicate/empty query params;
     doc_id//2 pairs share a page so canonicalization creates dup
     groups). Mirrored verbatim in the SQL oracle."""
     d = _docs(spark, sf_dir)
     id2 = F.expr("doc_id DIV 2").cast("string")
     host = F.concat(F.lit("w"), (F.expr("doc_id DIV 2") % 7).cast("string"))
-    v = F.col("doc_id") % 4
+    v = F.col("doc_id") % 6
     url = (F.when(v == 0, F.concat(F.lit("https://"), host,
                                    F.lit(".example.com/doc/"), id2))
            .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
@@ -494,9 +495,21 @@ def _noisy_urls(spark, sf_dir):
            .when(v == 2, F.concat(F.lit("https://"), host,
                                   F.lit(".example.com/doc/"), id2,
                                   F.lit("/?utm_source=feed&x=1")))
+           .when(v == 3, F.concat(F.lit("https://"), host,
+                                  F.lit(".example.com:443/doc/"), id2,
+                                  F.lit("?utm_campaign=a")))
+           # %64='d', %75='u': unreserved octets decode, so the path
+           # collapses onto the v=0 canonical and the decoded utm param
+           # is then dropped by the tracking filter (normalization runs
+           # BEFORE the param filter — this variant pins that order)
+           .when(v == 4, F.concat(F.lit("https://"), host,
+                                  F.lit(".example.com/%64oc/"), id2,
+                                  F.lit("?%75tm_source=x")))
+           # duplicate/empty params collapse; reserved octet %3b (';')
+           # stays encoded but its hex uppercases
            .otherwise(F.concat(F.lit("https://"), host,
-                               F.lit(".example.com:443/doc/"), id2,
-                               F.lit("?utm_campaign=a"))))
+                               F.lit(".example.com/doc/"), id2,
+                               F.lit("?&&x=a%3b&&"))))
     return d.select("doc_id", url.alias("url"))
 
 
@@ -1441,10 +1454,26 @@ SELECT user_id, session_idx, count(*) AS n_events,
 FROM s2 GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
 
     from filtlong_spark.functions import weburl as _weburl
+    # percent-encoding normalization: the identical literal rule chain
+    # (same rules, same order) as weburl.percent_rules(), rendered as
+    # nested replace() calls — chunked into layered CTEs of 100 because
+    # DuckDB's binder caps expression nesting at 128
+    _pn_rules = list(_weburl.percent_rules())
+    _pn_ctes, _pn_prev = [], "s3a"
+    for _ci in range(0, len(_pn_rules), 100):
+        _pn_expr = "u"
+        for _pat, _rep in _pn_rules[_ci:_ci + 100]:
+            _pn_expr = f"replace({_pn_expr}, '{_pat}', '{_rep}')"
+        _name = (f"pn{_ci // 100}"
+                 if _ci + 100 < len(_pn_rules) else "s3")
+        _pn_ctes.append(f"{_name} AS (SELECT doc_id, url, {_pn_expr} AS u "
+                        f"FROM {_pn_prev})")
+        _pn_prev = _name
+    _PN_CTES = ",\n".join(_pn_ctes)
     _CANON_CTES = f"""
 WITH base AS (
   SELECT doc_id, (doc_id // 2)::VARCHAR AS id2,
-         'w' || ((doc_id // 2) % 7)::VARCHAR AS host, doc_id % 4 AS v
+         'w' || ((doc_id // 2) % 7)::VARCHAR AS host, doc_id % 6 AS v
   FROM {DOCS}
 ),
 noisy AS (
@@ -1454,8 +1483,12 @@ noisy AS (
                 || '#top'
     WHEN 2 THEN 'https://' || host || '.example.com/doc/' || id2
                 || '/?utm_source=feed&x=1'
-    ELSE 'https://' || host || '.example.com:443/doc/' || id2
-         || '?utm_campaign=a' END AS url
+    WHEN 3 THEN 'https://' || host || '.example.com:443/doc/' || id2
+                || '?utm_campaign=a'
+    WHEN 4 THEN 'https://' || host || '.example.com/%64oc/' || id2
+                || '?%75tm_source=x'
+    ELSE 'https://' || host || '.example.com/doc/' || id2
+         || '?&&x=a%3b&&' END AS url
   FROM base
 ),
 s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM noisy),
@@ -1466,13 +1499,14 @@ s2 AS (
               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
   FROM s1
 ),
-s3 AS (
+s3a AS (
   SELECT doc_id, url,
          regexp_replace(regexp_replace(u,
            '^(http://[^/?#:]*):80($|[/?#])', '\\1\\2'),
            '^(https://[^/?#:]*):443($|[/?#])', '\\1\\2') AS u
   FROM s2
 ),
+{_PN_CTES},
 s4 AS (
   SELECT doc_id, url, u,
          regexp_replace(u, '\\?.*$', '') AS b,

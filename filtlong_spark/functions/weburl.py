@@ -8,15 +8,27 @@ oracle SQL in __spark_entry__.py):
 1. strip the fragment (``#...``)
 2. lowercase the scheme and authority (host[:port]); path/query keep case
 3. drop default ports (``:80`` for http, ``:443`` for https)
-4. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``); the
-   ``?`` goes too when nothing survives
-5. strip one trailing ``/`` unless the path is just ``/``
+4. percent-encoding normalization (RFC 3986 §6.2.2): decode %XX for the
+   UNRESERVED set (ALPHA / DIGIT / ``-._~`` — e.g. ``%7E`` -> ``~``),
+   either hex case, and uppercase the hex of every still-encoded octet
+   (``%3a`` -> ``%3A``). Rendered as a generated chain of literal
+   replaces — identical rule list, identical order, in both engines
+   (reserved octets like ``%2F``/``%25`` are never decoded, so
+   double-encoded sequences cannot cascade)
+5. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``) and
+   empty params (``&&``, lone/trailing ``&``); the ``?`` goes too when
+   nothing survives
+6. strip one trailing ``/`` unless the path is just ``/``
 
-All Catalyst expressions (regexp + one short array filter per doc — doc
-grain, not token grain, so the interpreted HOF cost is irrelevant).
+All Catalyst expressions (regexp + literal replaces + one short array
+filter per doc — doc grain, not token grain, so the interpreted HOF cost
+is irrelevant and the whole canonicalizer is map-only codegen).
 """
 
 from __future__ import annotations
+
+import string
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -24,6 +36,37 @@ from pyspark.sql import functions as F
 TRACKING_RE = "^(utm_[^=]*|gclid|fbclid)(=.*)?$"
 
 _AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+_HEX = "0123456789abcdef"
+_UNRESERVED = frozenset(string.ascii_letters + string.digits + "-._~")
+
+
+@lru_cache(maxsize=1)
+def percent_rules() -> tuple[tuple[str, str], ...]:
+    """(pattern, replacement) literal pairs, in application order:
+    decode both hex-case variants of every unreserved octet; uppercase
+    the lowercase-hex form of every reserved one. Shared verbatim with
+    the SQL oracle builder (mixed-case forms like %aB are left alone —
+    canonical emitters produce all-lower or all-upper hex)."""
+    rules = []
+    for a in _HEX:
+        for b in _HEX:
+            pair = a + b
+            up = pair.upper()
+            ch = chr(int(pair, 16))
+            if ch in _UNRESERVED:
+                rules.append(("%" + up, ch))
+                if up != pair:
+                    rules.append(("%" + pair, ch))
+            elif up != pair:
+                rules.append(("%" + pair, "%" + up))
+    return tuple(rules)
+
+
+def _percent_normalize(u: Column) -> Column:
+    for pat, rep in percent_rules():
+        u = F.replace(u, F.lit(pat), F.lit(rep))
+    return u
 
 
 def canonical_url_col(col: Column) -> Column:
@@ -37,7 +80,10 @@ def canonical_url_col(col: Column) -> Column:
     # following delimiter (or end) instead.
     u = F.regexp_replace(u, "^(http://[^/?#:]*):80($|[/?#])", "$1$2")
     u = F.regexp_replace(u, "^(https://[^/?#:]*):443($|[/?#])", "$1$2")
-    # 4. tracking params: split query, filter, rejoin
+    # 4. percent-encoding normalization (before the param filter, so
+    # encoded param names compare post-normalization)
+    u = _percent_normalize(u)
+    # 5. tracking params: split query, filter, rejoin
     base = F.regexp_replace(u, r"\?.*$", "")
     query = F.when(u.contains("?"),
                    F.regexp_replace(u, r"^[^?]*\?", "")).otherwise(F.lit(""))
@@ -45,6 +91,6 @@ def canonical_url_col(col: Column) -> Column:
                     lambda p: ~p.rlike(TRACKING_RE) & (p != F.lit("")))
     u = F.when((query == "") | (F.size(kept) == 0), base) \
         .otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
-    # 5. trailing slash (not the root path)
+    # 6. trailing slash (not the root path)
     u = F.regexp_replace(u, "(://[^/?#]+/[^?#]*[^/?#])/((\\?[^#]*)?)$", "$1$2")
     return u

@@ -30,6 +30,19 @@ CANON_CASES = [
     ("HTTPS://A.Test:443/p/?utm_source=s&k=v#f", "https://a.test/p?k=v"),
     # already canonical -> unchanged
     ("https://a.test/doc/7?q=1", "https://a.test/doc/7?q=1"),
+    # percent-encoding: unreserved octets decode (either hex case)
+    ("https://a.test/%7euser", "https://a.test/~user"),
+    ("https://a.test/%7Euser/%64oc", "https://a.test/~user/doc"),
+    # reserved octets stay encoded but hex uppercases
+    ("https://a.test/a%2fb%3fq", "https://a.test/a%2Fb%3Fq"),
+    # %25 ('%') is reserved: no decode -> no double-decode cascade (the
+    # trailing '2e' is literal text, not an octet — unchanged)
+    ("https://a.test/p%252e", "https://a.test/p%252e"),
+    # encoded tracking-param NAME decodes, then the filter drops it
+    ("https://a.test/p?%75tm_source=x&q=1", "https://a.test/p?q=1"),
+    # duplicate/empty params collapse; lone '&' query -> '?' dropped
+    ("https://a.test/p?&&x=a%3b&&", "https://a.test/p?x=a%3B"),
+    ("https://a.test/p?&&&", "https://a.test/p"),
 ]
 
 
