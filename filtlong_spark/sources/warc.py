@@ -101,9 +101,43 @@ def open_warc(path: str) -> io.BufferedIOBase:
     return open(path, "rb")
 
 
+_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)\"?",
+                         re.IGNORECASE)
+# content-types worth text extraction; anything else declared (images,
+# pdf, octet-stream, ...) is skipped — a crawl archive is mostly media
+# by bytes, and decoding a JPEG as text poisons every downstream stage
+_HTML_TYPES = ("text/html", "application/xhtml+xml", "text/plain")
+
+
+def decode_http_body(body: bytes, http: dict[str, str]) -> str:
+    """Decode per the HTTP Content-Type charset when one is declared and
+    Python knows it; fall back to utf-8 with replacement (the
+    Common-Crawl default posture). Always replacement-tolerant — a
+    mis-declared charset must degrade, never raise."""
+    ct = http.get("content-type", "")
+    m = _CHARSET_RE.search(ct)
+    if m:
+        try:
+            return body.decode(m.group(1), "replace")
+        except LookupError:
+            pass  # unknown/typo'd charset label -> utf-8 fallback
+    return body.decode("utf-8", "replace")
+
+
+def _is_text_type(http: dict[str, str]) -> bool:
+    ct = http.get("content-type")
+    if ct is None:
+        return True  # undeclared: assume html (early-web crawls)
+    ct = ct.split(";", 1)[0].strip().lower()
+    return ct in _HTML_TYPES or ct == ""
+
+
 def iter_warc_pages(path: str):
-    """Yield one pages row dict per response record — streaming, so a
-    1 GB archive never sits in executor memory as a Python list."""
+    """Yield one pages row dict per HTML/text response record —
+    streaming, so a 1 GB archive never sits in executor memory as a
+    Python list. Non-text responses (declared image/pdf/... payloads)
+    are skipped; bodies decode per their declared charset (latin-1
+    pages extract correctly instead of as mojibake)."""
     with open_warc(path) as f:
         for headers, payload in parse_warc(f):
             if headers.get("warc-type") != "response":
@@ -112,11 +146,13 @@ def iter_warc_pages(path: str):
             if not url:
                 continue
             body, http = _http_body_and_headers(payload)
+            if not _is_text_type(http):
+                continue
             yield {
                 "url": url,
                 "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
                 "html": body,
-                "text": extract_text(body.decode("utf-8", "replace")),
+                "text": extract_text(decode_http_body(body, http)),
                 "lang": http.get("content-language"),
             }
 

@@ -5,11 +5,15 @@ import gzip
 from filtlong_spark.sources import warc
 
 
-def _record(url, date, body_html, lang=None):
-    http_headers = "HTTP/1.1 200 OK\r\nContent-Type: text/html"
+def _record(url, date, body_html, lang=None, content_type="text/html",
+            charset=None):
+    ct = content_type + (f"; charset={charset}" if charset else "")
+    http_headers = f"HTTP/1.1 200 OK\r\nContent-Type: {ct}"
     if lang:
         http_headers += f"\r\nContent-Language: {lang}"
-    payload = (http_headers + "\r\n\r\n").encode() + body_html.encode()
+    body = (body_html if isinstance(body_html, bytes)
+            else body_html.encode(charset or "utf-8"))
+    payload = (http_headers + "\r\n\r\n").encode() + body
     head = (f"WARC/1.0\r\n"
             f"WARC-Type: response\r\n"
             f"WARC-Target-URI: {url}\r\n"
@@ -57,6 +61,34 @@ def test_read_warc_plain_and_gzip(spark, tmp_path):
     assert r["warc_ts"].month == 3 and r["warc_ts"].hour == 12
     assert bytes(r["html"]).startswith(b"<html>")
     assert "the fast sort" in r["text"]
+
+
+def test_warc_charset_and_content_type(tmp_path):
+    """Bodies decode per the declared Content-Type charset (a latin-1
+    page extracts its accented text instead of mojibake); declared
+    non-text records are skipped; unknown charset labels degrade to the
+    utf-8-replace fallback instead of raising."""
+    latin = "<p>café français</p>"         # é/ç: latin-1 bytes
+    data = (_warcinfo()
+            + _record("https://a.test/latin", "2024-03-01T12:00:00Z",
+                      latin, charset="latin-1")
+            + _record("https://a.test/img", "2024-03-01T12:01:00Z",
+                      b"\xff\xd8\xff\xe0 jpeg bytes",
+                      content_type="image/jpeg")
+            + _record("https://a.test/pdf", "2024-03-01T12:02:00Z",
+                      b"%PDF-1.4", content_type="application/pdf")
+            + _record("https://a.test/badcs", "2024-03-01T12:03:00Z",
+                      b"<p>plain ascii</p>", charset="no-such-charset")
+            + _record("https://a.test/plain", "2024-03-01T12:04:00Z",
+                      "just text", content_type="text/plain"))
+    p = tmp_path / "cs.warc"
+    p.write_bytes(data)
+    rows = {r["url"]: r for r in warc.iter_warc_pages(str(p))}
+    assert set(rows) == {"https://a.test/latin", "https://a.test/badcs",
+                         "https://a.test/plain"}
+    assert "café français" in rows["https://a.test/latin"]["text"]
+    assert "plain ascii" in rows["https://a.test/badcs"]["text"]
+    assert rows["https://a.test/plain"]["text"] == "just text"
 
 
 def test_warc_streams_bounded_batches(spark, tmp_path):
