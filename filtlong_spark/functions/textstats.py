@@ -65,49 +65,34 @@ def symbol_count_col() -> Column:
 
 
 def langid_df(docs: DataFrame, key: str = "doc_id") -> DataFrame:
-    """A2 analog (language-ID) over raw text with the char-trigram
-    profiles from core.trigram_profiles(): explode trigram positions
-    (sequence + substring — codegen), count profile hits per language in
-    ONE conditional hash aggregate, argmax with alphabetical tiebreak.
-    Docs shorter than 3 chars score zero everywhere -> 'und'. Exactly
-    mirrors core.flat_predict_lang_texts (the pipeline gate) and the
-    DuckDB oracle SQL."""
-    from .. import core
-    prof = core.trigram_profiles()
-    langs = sorted(prof)
-    # filter docs < 3 chars BEFORE the position explode: F.sequence(1, 0)
-    # steps DOWNWARD in Spark (yields [1, 0] — junk 1-2 char rows) while
-    # DuckDB's generate_series(1, 0) is empty; filtering keeps both engines
-    # enumerating identical trigram rows (short docs rejoin via the left
-    # join below and score 0 -> 'und')
-    tg = (docs.select(key, F.lower(F.col("text")).alias("lt"))
-          .filter(F.length("lt") >= 3)
-          .select(key, F.explode(F.sequence(
-              F.lit(1), F.length("lt") - 2)).alias("i"), "lt")
-          .select(key, F.expr("substring(lt, i, 3)").alias("tg")))
-    aggs = [F.sum(F.when(F.col("tg").isin(*prof[lang]), 1).otherwise(0))
-            .alias(f"s_{lang}") for lang in langs]
-    counts = tg.groupBy(key).agg(*aggs)
-    filled = (docs.select(key).join(counts, key, "left")
-              .na.fill({f"s_{lang}": 0 for lang in langs}))
-    return langid_from_stats(filled, langs)
+    """A2 analog (language-ID) over raw text: ONE Arrow-batched numpy
+    pass — core.flat_predict_lang_texts, the same kernel the pipeline's
+    langid gate runs (one flat key array + one searchsorted per language
+    per batch). Map-only, zero shuffle, linear in corpus bytes.
 
+    The previous pure-Catalyst rendering (position explode + per-trigram
+    substring) re-materialized the WHOLE document text on every one of
+    its trigram rows — tens of GB of row copying per 5k docs — and was
+    2-6x slower however the profile probe was expressed (wide IN-set
+    aggregates and a broadcast-join+pivot both measured ~5 s steady at
+    sf0.1 vs ~2 s here, plus a 16-19 s first-run codegen/JIT hit). The
+    integer hit counts make lang_conf an exact int/int ratio, identical
+    to the DuckDB literal-profile-table oracle (argmax with alphabetical
+    tiebreak, 'und' on zero hits — asserted by the langid driver row)."""
+    from .scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
 
-def langid_from_stats(stats: DataFrame, langs=None) -> DataFrame:
-    """lang_pred + lang_conf via argmax over per-language score columns
-    s_<lang>; deterministic alphabetical tiebreak."""
-    from .. import core
-    langs = sorted(core.trigram_profiles()) if langs is None else langs
-    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
-    pred = F.lit("und")
-    for l in reversed(langs):
-        pred = F.when(F.col(f"s_{l}") == best, F.lit(l)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    total = None
-    for l in langs:
-        total = F.col(f"s_{l}") if total is None else total + F.col(f"s_{l}")
-    conf = F.when(total > 0, best.cast("double") / total).otherwise(F.lit(0.0))
-    return stats.withColumn("lang_pred", pred).withColumn("lang_conf", conf)
+    def mapper(batches):
+        import pandas as pd
+        for pdf in batches:
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            pred, conf = core.flat_predict_lang_texts(texts)
+            yield pd.DataFrame({key: pdf[key], "lang_pred": pred,
+                                "lang_conf": conf})
+
+    return docs.select(key, "text").mapInPandas(
+        mapper, schema=f"{key} long, lang_pred string, lang_conf double")
 
 
 def repetition_stats(docs: DataFrame, key: str = "doc_id") -> DataFrame:
