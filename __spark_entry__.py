@@ -1464,6 +1464,10 @@ FROM s2 GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
         _pn_expr = "u"
         for _pat, _rep in _pn_rules[_ci:_ci + 100]:
             _pn_expr = f"replace({_pn_expr}, '{_pat}', '{_rep}')"
+        # mirror the Spark side's %-gate: the chain only runs on URLs
+        # that contain encoding (identity otherwise)
+        _pn_expr = (f"CASE WHEN position('%' IN u) > 0 "
+                    f"THEN {_pn_expr} ELSE u END")
         _name = (f"pn{_ci // 100}"
                  if _ci + 100 < len(_pn_rules) else "s3")
         _pn_ctes.append(f"{_name} AS (SELECT doc_id, url, {_pn_expr} AS u "

@@ -64,9 +64,14 @@ def percent_rules() -> tuple[tuple[str, str], ...]:
 
 
 def _percent_normalize(u: Column) -> Column:
+    # the rule chain is identity on %-free strings — gate it behind a
+    # contains check so the ~200 literal replaces run only on the rare
+    # URLs that actually carry encoding (CASE branches evaluate lazily
+    # in codegen; mirrored in the oracle SQL)
+    norm = u
     for pat, rep in percent_rules():
-        u = F.replace(u, F.lit(pat), F.lit(rep))
-    return u
+        norm = F.replace(norm, F.lit(pat), F.lit(rep))
+    return F.when(u.contains("%"), norm).otherwise(u)
 
 
 def canonical_url_col(col: Column) -> Column:
