@@ -3,14 +3,18 @@
 What's REAL here (no media library needed):
 - container-header sniffing (PNG IHDR / GIF screen / JPEG SOF markers)
 - full PNG pixel decode: stdlib zlib inflate + scanline unfiltering
-  (filters 0-4), 8-bit depth, gray/RGB(+alpha) — so ``real=True`` image
-  features are computed from ACTUAL pixels for PNG media
+  (filters 0-4), 8-bit depth, gray/RGB(+alpha)
+- full GIF pixel decode: LZW bitstream (variable code width, clear/EOI,
+  KwKwK case), global/local palettes, interlace passes — first frame
+- so ``real=True`` image features are computed from ACTUAL pixels for
+  PNG and GIF media
 - all Spark-side plumbing: schemas, Arrow batch shapes, mapInPandas
   signatures, partitioning, the LSH near-dup join downstream
 
-Still faked (deterministic, clearly marked): non-PNG pixel decode and
-video frame extraction — this container has no PIL/pyav. Production
-swap-in: replace the fallback in ``decode_image_features`` /
+Still faked (deterministic, clearly marked): JPEG pixel decode (a DCT +
+huffman implementation is out of scope for stdlib) and video frame
+extraction — this container has no PIL/pyav. Production swap-in:
+replace the fallback in ``decode_image_features`` /
 ``frame_sample_stub`` with PIL/pyav calls inside the same mapInPandas
 mappers — the dataflow (binary in, fixed-size feature array out,
 map-only, no shuffle) does not change.
@@ -180,6 +184,195 @@ def png_encode(pixels, filter_type: int = 0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int):
+    """REAL GIF LZW decompression: LSB-first bitstream, variable code
+    width starting at mcs+1 (capped at 12), CLEAR resets the table, EOI
+    ends, standard KwKwK handling. Returns a list of palette indices."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                return list(out)
+            if prev is None:
+                if code >= clear:        # first code must be a literal
+                    raise ValueError("corrupt GIF LZW stream")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):     # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return list(out[:n_pixels])
+    if len(out) < n_pixels:
+        raise ValueError("truncated GIF pixel data")
+    return list(out[:n_pixels])
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode_pixels(data: bytes):
+    """REAL stdlib-only GIF decode (first frame): logical screen +
+    global/local color table parse, extension-block skip, LZW
+    decompression of the image data, interlace reordering. Returns a
+    uint8 numpy array of shape (height, width, 3)."""
+    import struct
+
+    import numpy as np
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    _, _, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[i:i + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        i += 3 * n
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:                     # extension: skip sub-blocks
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:                   # image descriptor
+            if i + 10 > len(data):
+                raise ValueError("truncated image descriptor")
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[i + 1:i + 10])
+            i += 10
+            pal = gct
+            if iflags & 0x80:             # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(data[i:i + 3 * n], dtype=np.uint8)
+                if pal.size != 3 * n:
+                    raise ValueError("truncated local color table")
+                pal = pal.reshape(n, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            if i >= len(data):
+                raise ValueError("truncated GIF pixel data")
+            mcs = data[i]
+            i += 1
+            lzw = bytearray()             # concatenate data sub-blocks
+            while i < len(data) and data[i] != 0:
+                ln = data[i]
+                lzw.extend(data[i + 1:i + 1 + ln])
+                i += 1 + ln
+            idx = np.array(_gif_lzw_decode(mcs, bytes(lzw), w * h),
+                           dtype=np.int64).reshape(h, w)
+            if iflags & 0x40:             # interlaced: reorder rows
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, h, step))
+                deinter = np.empty_like(idx)
+                deinter[rows] = idx
+                idx = deinter
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("palette index out of range")
+            return pal[idx]
+        elif b == 0x3B:                   # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def gif_encode(indices, palette, interlaced: bool = False,
+               comment: bytes | None = None) -> bytes:
+    """Minimal valid GIF89a writer (fixture/test support for the
+    decoder): one frame from an (h, w) index array + palette, real LZW
+    constraints honored via the classic uncompressed technique (literal
+    codes with periodic CLEARs so the width never grows)."""
+    import struct
+
+    import numpy as np
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = bytearray()
+    for j in range(size):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        pal.extend((r, g, b))
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0))
+    out.extend(pal)
+    if comment is not None:
+        out.extend(b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00")
+    out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x40 if interlaced else 0))
+    rows = idx
+    if interlaced:
+        order = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        rows = idx[order]
+    mcs = max(2, bits)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    codes = [clear]
+    flat = rows.reshape(-1)
+    span = (1 << mcs) - 2   # literals per clear window: width never grows
+    for ci, v in enumerate(flat):
+        if ci and ci % span == 0:
+            codes.append(clear)
+        codes.append(int(v))
+    codes.append(eoi)
+    acc = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    out.append(mcs)
+    for o in range(0, len(stream), 255):
+        blk = stream[o:o + 255]
+        out.append(len(blk))
+        out.extend(blk)
+    out.extend(b"\x00\x3b")
+    return bytes(out)
+
+
 def image_features_from_pixels(px) -> list[float]:
     """(h, w, ch) pixels -> 16 features: grayscale, nearest-resample to
     16x16, mean-pool 4x4 blocks, scale to [0,1]. Deterministic, and
@@ -199,21 +392,24 @@ def image_features_from_pixels(px) -> list[float]:
 def decode_image_features(media: DataFrame, real: bool = False) -> DataFrame:
     """(doc_id, features: array<float>) via mapInPandas over binary media.
 
-    ``real=True``: PNG media is decoded to actual pixels (stdlib zlib,
-    png_decode_pixels) and featurized from them; other containers fall
-    back to the byte-deterministic fake (production swaps the fallback
-    for PIL inside this same mapper)."""
+    ``real=True``: PNG and GIF media are decoded to actual pixels
+    (stdlib zlib / LZW — png_decode_pixels, gif_decode_pixels) and
+    featurized from them; other containers fall back to the
+    byte-deterministic fake (production swaps the fallback for PIL
+    inside this same mapper)."""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
 
     def one(data: bytes) -> list[float]:
-        if real and data[:8] == PNG_MAGIC:
+        if real and (data[:8] == PNG_MAGIC or data[:6] in GIF_MAGICS):
             # crawled media is routinely truncated/corrupt: a decode
             # failure must quarantine the one record (fall back to the
             # byte-deterministic featurizer), never kill the stage —
             # same posture as the pipeline's ingest quarantine
             try:
-                return image_features_from_pixels(png_decode_pixels(data))
+                px = (png_decode_pixels(data) if data[:8] == PNG_MAGIC
+                      else gif_decode_pixels(data))
+                return image_features_from_pixels(px)
             except Exception:
                 return _fake_decode_image(data)
         return _fake_decode_image(data)

@@ -118,6 +118,93 @@ def test_real_decode_from_actual_pixels(spark):
     assert row["features"] != pytest.approx(mm._fake_decode_image(data))
 
 
+class TestGifDecode:
+    def _pal(self):
+        return [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+    def test_roundtrip(self):
+        import numpy as np
+        idx = (np.arange(7 * 5).reshape(5, 7) % 4).astype(np.uint8)
+        data = mm.gif_encode(idx, self._pal())
+        px = mm.gif_decode_pixels(data)
+        assert px.shape == (5, 7, 3)
+        pal = np.array(self._pal(), dtype=np.uint8)
+        assert (px == pal[idx]).all()
+        # sniffing agrees with the real container
+        assert mm.sniff_bytes(data) == ("image/gif", 7, 5)
+
+    def test_interlaced_and_subblocks(self):
+        """Interlace pass reordering + >255-byte data sub-blocks + a
+        skipped extension block all decode to the same pixels."""
+        import numpy as np
+        idx = (np.add.outer(np.arange(40), np.arange(33)) % 4).astype(
+            np.uint8)
+        plain = mm.gif_decode_pixels(mm.gif_encode(idx, self._pal()))
+        inter = mm.gif_decode_pixels(
+            mm.gif_encode(idx, self._pal(), interlaced=True,
+                          comment=b"made by tests"))
+        assert (plain == inter).all()
+
+    def test_lzw_width_growth_and_kwkwk(self):
+        """Hand-packed LZW stream exercising the dynamic-table paths the
+        literal-only encoder never emits: a dynamic-code reference, the
+        KwKwK case, and the code-width growth from 3 to 4 bits."""
+        import struct
+
+        import numpy as np
+        # mcs=2: clear=4, eoi=5; codes [clear,0,1,6,8,eoi] decode to
+        # [0,1, 0 1, 0 1 0]; width grows to 4 before code 8
+        codes_widths = [(4, 3), (0, 3), (1, 3), (6, 3), (8, 4), (5, 4)]
+        acc = nbits = 0
+        stream = bytearray()
+        for c, wdt in codes_widths:
+            acc |= c << nbits
+            nbits += wdt
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        pal = bytearray()
+        for r, g, b in self._pal():
+            pal.extend((r, g, b))
+        gif = (b"GIF89a" + struct.pack("<HHBBB", 7, 1, 0x81, 0, 0) + pal
+               + struct.pack("<BHHHHB", 0x2C, 0, 0, 7, 1, 0) + b"\x02"
+               + bytes([len(stream)]) + stream + b"\x00\x3b")
+        px = mm.gif_decode_pixels(gif)
+        pal_a = np.array(self._pal(), dtype=np.uint8)
+        assert (px[0] == pal_a[[0, 1, 0, 1, 0, 1, 0]]).all()
+
+    def test_rejects_corrupt(self):
+        import numpy as np
+        import pytest as _pytest
+        idx = np.zeros((4, 4), dtype=np.uint8)
+        good = mm.gif_encode(idx, self._pal())
+        with _pytest.raises(ValueError):
+            mm.gif_decode_pixels(b"not a gif")
+        with _pytest.raises(ValueError):
+            mm.gif_decode_pixels(good[:20])  # truncated
+
+
+def test_real_decode_from_gif_pixels(spark):
+    """real=True featurizes GIF media from DECODED pixels (parity with
+    the PNG path); corrupt GIFs quarantine to the fake."""
+    import numpy as np
+    idx = (np.arange(32 * 24).reshape(24, 32) % 4).astype(np.uint8)
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    data = mm.gif_encode(idx, pal)
+    corrupt = data[: len(data) // 2]
+    media = spark.createDataFrame(
+        [(1, "image", data), (2, "image", corrupt)],
+        "doc_id long, kind string, media binary")
+    rows = {r["doc_id"]: r["features"]
+            for r in mm.decode_image_features(media, real=True).collect()}
+    px = np.array(pal, dtype=np.uint8)[idx]
+    assert rows[1] == pytest.approx(mm.image_features_from_pixels(px))
+    assert rows[2] == pytest.approx(mm._fake_decode_image(corrupt))
+
+
 def test_real_decode_quarantines_corrupt_png(spark):
     """A truncated/corrupt PNG (crawled media routinely is) must NOT kill
     the stage: the record falls back to the byte-deterministic featurizer
