@@ -419,25 +419,45 @@ def embed_text(docs: DataFrame, dim: int = 32) -> DataFrame:
     """(vec_id, embedding): deterministic hashing-trick bag-of-words
     embedding — token t adds 1 to dimension md5_60(t) % dim. The exact-
     integer stand-in for a real text encoder (swap in a model server /
-    sentence-transformer batch UDF here; everything downstream — banded
-    LSH, cosine, IVF — is unchanged). Integer counts -> bit-identical
-    vectors in the DuckDB oracle. One explode + pivot-free conditional
-    aggregate, single shuffle on doc_id."""
-    toks = docs.select(
-        F.col("doc_id").alias("vec_id"),
-        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"))
-    h60 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
-                 16, 10).cast("long")
-    # collapse to (vec_id, dim, count) first — the dim-wide CASE sums
-    # then run over ~dim rows per doc instead of every token occurrence
-    cnt = (toks.select("vec_id", (h60 % dim).alias("d"))
-           .groupBy("vec_id", "d").agg(F.count("*").alias("c")))
-    aggs = [F.sum(F.when(F.col("d") == i, F.col("c")).otherwise(0))
-            .cast("float").alias(f"e{i}") for i in range(dim)]
-    wide = cnt.groupBy("vec_id").agg(*aggs)
-    return wide.select(
-        "vec_id", F.array(*[F.col(f"e{i}") for i in range(dim)])
-        .alias("embedding"))
+    sentence-transformer batch UDF inside this same mapper; everything
+    downstream — banded LSH, cosine, IVF — is unchanged). MAP-ONLY: a
+    document is one row, so one numpy Arrow pass hashes each DISTINCT
+    token per batch and bincounts dimensions per doc — zero shuffle (the
+    previous explode + two aggregates paid two). Integer counts ->
+    bit-identical vectors in the DuckDB oracle; docs with zero tokens
+    emit no row (same semantics as the aggregate formulation)."""
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+
+    def mapper(batches):
+        import hashlib
+
+        import numpy as np
+        for pdf in batches:
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            ids = np.asarray(pdf["doc_id"], dtype=np.int64)
+            tb = core.batch_tokenize(texts)
+            counts = np.asarray(tb.counts, dtype=np.int64)
+            nz = counts > 0
+            if not nz.any():
+                continue
+            codes, uniq = pd.factorize(
+                np.array(tb.tokens, dtype=object), sort=False)
+            d_of_uniq = np.fromiter(
+                (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                 % dim for t in uniq), dtype=np.int64, count=len(uniq))
+            doc_of = np.asarray(tb.doc_of, dtype=np.int64)
+            flat = doc_of * dim + d_of_uniq[codes]
+            E = np.bincount(flat, minlength=len(texts) * dim) \
+                .reshape(len(texts), dim).astype(np.float32)
+            yield pd.DataFrame({"vec_id": ids[nz],
+                                "embedding": list(E[nz])})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        mapper, schema="vec_id long, embedding array<float>")
 
 
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
