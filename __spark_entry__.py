@@ -1228,19 +1228,26 @@ WHERE cos >= 0.99 ORDER BY probe_id, vec_id""")
     # ($SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01): DuckDB independently
     # recomputes every dot product, list assignment, probe fan-out,
     # candidate join, cosine, and rank from those literals.
-    import numpy as np
-    import pyarrow.parquet as pq
-    _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
-                          "/root/testdata/sf0.01")
-    _edf = (pq.read_table(os.path.join(_osf, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"])
-            .to_pandas().sort_values("vec_id").head(4096))
-    _C = sim_op.ivf_train_matrix(
-        np.array(list(_edf["embedding"]), dtype=np.float64))
-    _cent_values = ", ".join(
-        "(%d, [%s])" % (j, ", ".join(repr(float(v)) for v in _C[j]))
-        for j in range(len(_C)))
-    sql["ann_ivf"] = f"""
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+        _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                              "/root/testdata/sf0.01")
+        _edf = (pq.read_table(os.path.join(_osf, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+                .to_pandas().sort_values("vec_id").head(4096))
+        _C = sim_op.ivf_train_matrix(
+            np.array(list(_edf["embedding"]), dtype=np.float64))
+        _cent_values = ", ".join(
+            "(%d, [%s])" % (j, ", ".join(repr(float(v)) for v in _C[j]))
+            for j in range(len(_C)))
+    except Exception:
+        # comparison-scale parquet unavailable -> omit only this key
+        # (the driver then records a rows-only check for ann_ivf instead
+        # of the whole oracle dict failing)
+        _cent_values = None
+    if _cent_values is not None:
+        sql["ann_ivf"] = f"""
 WITH e AS ({_EMB_SRC}),
 cent(cid, c) AS (VALUES {_cent_values}),
 dots AS (
