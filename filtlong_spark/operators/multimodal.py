@@ -6,18 +6,20 @@ What's REAL here (no media library needed):
   (filters 0-4), 8-bit depth, gray/RGB(+alpha)
 - full GIF pixel decode: LZW bitstream (variable code width, clear/EOI,
   KwKwK case), global/local palettes, interlace passes — first frame
+- baseline JPEG pixel decode (operators/jpeg.py): marker walk, huffman
+  entropy decode, dequantize + IDCT, chroma upsampling, YCbCr->RGB —
+  verified against real libjpeg-produced files
 - so ``real=True`` image features are computed from ACTUAL pixels for
-  PNG and GIF media
+  PNG, GIF and baseline JPEG media
 - all Spark-side plumbing: schemas, Arrow batch shapes, mapInPandas
   signatures, partitioning, the LSH near-dup join downstream
 
-Still faked (deterministic, clearly marked): JPEG pixel decode (a DCT +
-huffman implementation is out of scope for stdlib) and video frame
-extraction — this container has no PIL/pyav. Production swap-in:
-replace the fallback in ``decode_image_features`` /
-``frame_sample_stub`` with PIL/pyav calls inside the same mapInPandas
-mappers — the dataflow (binary in, fixed-size feature array out,
-map-only, no shuffle) does not change.
+Still faked (deterministic, clearly marked): progressive-JPEG decode
+(raises -> per-record quarantine) and video frame extraction — this
+container has no PIL/pyav. Production swap-in: replace the fallback in
+``decode_image_features`` / ``frame_sample_stub`` with PIL/pyav calls
+inside the same mapInPandas mappers — the dataflow (binary in,
+fixed-size feature array out, map-only, no shuffle) does not change.
 """
 
 from __future__ import annotations
@@ -392,23 +394,30 @@ def image_features_from_pixels(px) -> list[float]:
 def decode_image_features(media: DataFrame, real: bool = False) -> DataFrame:
     """(doc_id, features: array<float>) via mapInPandas over binary media.
 
-    ``real=True``: PNG and GIF media are decoded to actual pixels
-    (stdlib zlib / LZW — png_decode_pixels, gif_decode_pixels) and
-    featurized from them; other containers fall back to the
-    byte-deterministic fake (production swaps the fallback for PIL
-    inside this same mapper)."""
+    ``real=True``: PNG, GIF and baseline JPEG media are decoded to
+    actual pixels (stdlib — png_decode_pixels, gif_decode_pixels,
+    jpeg.jpeg_decode_pixels) and featurized from them; other containers
+    fall back to the byte-deterministic fake (production swaps the
+    fallback for PIL inside this same mapper)."""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
+    from . import jpeg as jpeg_mod
 
     def one(data: bytes) -> list[float]:
-        if real and (data[:8] == PNG_MAGIC or data[:6] in GIF_MAGICS):
-            # crawled media is routinely truncated/corrupt: a decode
-            # failure must quarantine the one record (fall back to the
-            # byte-deterministic featurizer), never kill the stage —
-            # same posture as the pipeline's ingest quarantine
+        if real and (data[:8] == PNG_MAGIC or data[:6] in GIF_MAGICS
+                     or data[:2] == b"\xff\xd8"):
+            # crawled media is routinely truncated/corrupt (and JPEGs
+            # may be progressive): a decode failure must quarantine the
+            # one record (fall back to the byte-deterministic
+            # featurizer), never kill the stage — same posture as the
+            # pipeline's ingest quarantine
             try:
-                px = (png_decode_pixels(data) if data[:8] == PNG_MAGIC
-                      else gif_decode_pixels(data))
+                if data[:8] == PNG_MAGIC:
+                    px = png_decode_pixels(data)
+                elif data[:6] in GIF_MAGICS:
+                    px = gif_decode_pixels(data)
+                else:
+                    px = jpeg_mod.jpeg_decode_pixels(data)
                 return image_features_from_pixels(px)
             except Exception:
                 return _fake_decode_image(data)

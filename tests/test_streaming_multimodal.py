@@ -187,6 +187,103 @@ class TestGifDecode:
             mm.gif_decode_pixels(good[:20])  # truncated
 
 
+# CPython's own 16x16 test JPEG (Lib/test/imghdrdata/python.jpg) — a
+# real libjpeg-produced baseline file (standard quant + huffman tables,
+# subsampled chroma): the decoder must handle files we did not write.
+REAL_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgG"
+    "BgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMD"
+    "AwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+    "EBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAA"
+    "AAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/"
+    "xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQME"
+    "BQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrs"
+    "aUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Ia"
+    "ad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPx"
+    "w2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KO"
+    "p1KM6iCNvngZHwetf//Z")
+
+
+class TestJpegCodec:
+    def _px(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        yy, xx = np.mgrid[0:24, 0:33]
+        px = np.zeros((24, 33, 3), dtype=np.uint8)
+        px[..., 0] = (yy * 7 + xx * 3) % 256
+        px[..., 1] = ((yy // 8) * 60 + (xx // 8) * 20) % 256
+        px[..., 2] = rng.integers(0, 256, (24, 33))
+        return px
+
+    def test_roundtrip_444_near_lossless(self):
+        """All-ones quant tables: the only error left is DCT float
+        rounding + color-space rounding — within +-3 per channel."""
+        import numpy as np
+        from filtlong_spark.operators import jpeg
+        px = self._px()
+        out = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(px))
+        assert out.shape == px.shape
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 3
+
+    def test_roundtrip_420_with_restarts(self):
+        """2x2 chroma subsampling + DRI restart intervals: luma must
+        stay near-exact (it is never subsampled); chroma is lossy."""
+        import numpy as np
+        from filtlong_spark.operators import jpeg
+        px = self._px()
+        data = jpeg.jpeg_encode(px, subsample=(2, 2), restart_interval=2)
+        out = jpeg.jpeg_decode_pixels(data)
+        luma = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                          + 0.114 * a[..., 2])
+        err = np.abs(luma(out.astype(float)) - luma(px.astype(float)))
+        assert float(err.mean()) < 3.0
+
+    def test_decodes_real_libjpeg_file(self):
+        """A file produced by libjpeg (standard Annex-K tables,
+        subsampled) — not by our encoder."""
+        import base64
+        from filtlong_spark.operators import jpeg, multimodal as m2
+        data = base64.b64decode(REAL_JPEG_B64)
+        assert m2.sniff_bytes(data) == ("image/jpeg", 16, 16)
+        px = jpeg.jpeg_decode_pixels(data)
+        assert px.shape == (16, 16, 3)
+        assert px.std() > 0  # actual image content, not a flat fill
+
+    def test_rejects_progressive_and_corrupt(self):
+        import base64
+
+        import pytest as _pytest
+        from filtlong_spark.operators import jpeg
+        data = bytearray(base64.b64decode(REAL_JPEG_B64))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # rewrite the frame marker to progressive
+        with _pytest.raises(ValueError):
+            jpeg.jpeg_decode_pixels(bytes(data))
+        with _pytest.raises(ValueError):
+            jpeg.jpeg_decode_pixels(b"\xff\xd8truncated")
+        good = base64.b64decode(REAL_JPEG_B64)
+        with _pytest.raises(ValueError):
+            jpeg.jpeg_decode_pixels(good[: len(good) // 2])
+
+
+def test_real_decode_from_jpeg_pixels(spark):
+    """real=True featurizes baseline JPEG media from DECODED pixels;
+    progressive/corrupt JPEGs quarantine to the fake."""
+    import base64
+    from filtlong_spark.operators import jpeg
+    data = base64.b64decode(REAL_JPEG_B64)
+    corrupt = data[: len(data) // 2]
+    media = spark.createDataFrame(
+        [(1, "image", data), (2, "image", corrupt)],
+        "doc_id long, kind string, media binary")
+    rows = {r["doc_id"]: r["features"]
+            for r in mm.decode_image_features(media, real=True).collect()}
+    assert rows[1] == pytest.approx(
+        mm.image_features_from_pixels(jpeg.jpeg_decode_pixels(data)))
+    assert rows[2] == pytest.approx(mm._fake_decode_image(corrupt))
+
+
 def test_real_decode_from_gif_pixels(spark):
     """real=True featurizes GIF media from DECODED pixels (parity with
     the PNG path); corrupt GIFs quarantine to the fake."""
