@@ -14,12 +14,18 @@ What's REAL here (no media library needed):
 - all Spark-side plumbing: schemas, Arrow batch shapes, mapInPandas
   signatures, partitioning, the LSH near-dup join downstream
 
+- animated-GIF frame sampling (``frame_sample(real=True)``): frames
+  composited on the canvas (GCE delays/transparency/disposal), sampled
+  on the delay timeline, re-encoded as PNG for the downstream image
+  stages — the honest multi-frame/"video" path this environment admits
+
 Still faked (deterministic, clearly marked): progressive-JPEG decode
-(raises -> per-record quarantine) and video frame extraction — this
-container has no PIL/pyav. Production swap-in: replace the fallback in
-``decode_image_features`` / ``frame_sample_stub`` with PIL/pyav calls
-inside the same mapInPandas mappers — the dataflow (binary in,
-fixed-size feature array out, map-only, no shuffle) does not change.
+(raises -> per-record quarantine) and true video containers (mp4/webm)
+— this container has no PIL/pyav. Production swap-in: replace the
+fallbacks in ``decode_image_features`` / ``frame_sample`` with
+PIL/pyav calls inside the same mapInPandas mappers — the dataflow
+(binary in, fixed-size feature array / frame rows out, map-only, no
+shuffle) does not change.
 """
 
 from __future__ import annotations
@@ -241,11 +247,15 @@ def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int):
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_decode_pixels(data: bytes):
-    """REAL stdlib-only GIF decode (first frame): logical screen +
-    global/local color table parse, extension-block skip, LZW
-    decompression of the image data, interlace reordering. Returns a
-    uint8 numpy array of shape (height, width, 3)."""
+def gif_decode_frames(data: bytes, max_frames: int | None = None):
+    """REAL stdlib-only GIF decode, ALL frames (animated GIFs are the
+    one multi-frame container decodable without a media library — the
+    honest stand-in for video in this environment): logical screen +
+    global/local color tables, graphic-control extensions (per-frame
+    delay, transparency index, restore-to-background disposal), LZW
+    decompression, interlace reordering, frame compositing onto the
+    canvas. Returns (frames, delays_ms): a list of uint8 arrays of
+    shape (screen_h, screen_w, 3) and each frame's display delay."""
     import struct
 
     import numpy as np
@@ -253,7 +263,7 @@ def gif_decode_pixels(data: bytes):
         raise ValueError("not a GIF")
     if len(data) < 13:
         raise ValueError("truncated GIF header")
-    _, _, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
     i = 13
     gct = None
     if flags & 0x80:
@@ -263,17 +273,34 @@ def gif_decode_pixels(data: bytes):
             raise ValueError("truncated global color table")
         gct = gct.reshape(n, 3)
         i += 3 * n
+    if gct is not None and bg < len(gct):
+        canvas = np.tile(gct[bg], (sh, sw, 1)).astype(np.uint8)
+        bg_rgb = gct[bg]
+    else:
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    frames: list = []
+    delays: list[int] = []
+    transparent = None
+    delay_ms = 0
+    disposal = 0
     while i < len(data):
         b = data[i]
-        if b == 0x21:                     # extension: skip sub-blocks
+        if b == 0x21:                     # extension
+            ext = data[i + 1] if i + 1 < len(data) else 0
             i += 2
+            if ext == 0xF9 and i < len(data) and data[i] >= 4:
+                gflags = data[i + 1]
+                delay_ms = struct.unpack("<H", data[i + 2:i + 4])[0] * 10
+                transparent = data[i + 4] if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
             while i < len(data) and data[i] != 0:
                 i += 1 + data[i]
             i += 1
         elif b == 0x2C:                   # image descriptor
             if i + 10 > len(data):
                 raise ValueError("truncated image descriptor")
-            _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[i + 1:i + 10])
+            x, y, w, h, iflags = struct.unpack("<HHHHB", data[i + 1:i + 10])
             i += 10
             pal = gct
             if iflags & 0x80:             # local color table
@@ -294,6 +321,7 @@ def gif_decode_pixels(data: bytes):
                 ln = data[i]
                 lzw.extend(data[i + 1:i + 1 + ln])
                 i += 1 + ln
+            i += 1                        # block terminator
             idx = np.array(_gif_lzw_decode(mcs, bytes(lzw), w * h),
                            dtype=np.int64).reshape(h, w)
             if iflags & 0x40:             # interlaced: reorder rows
@@ -305,51 +333,43 @@ def gif_decode_pixels(data: bytes):
                 idx = deinter
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("palette index out of range")
-            return pal[idx]
+            region = canvas[y:y + h, x:x + w]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = pal[idx][mask]
+            else:
+                region[...] = pal[idx]
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+            if disposal == 2:             # restore to background
+                canvas[y:y + h, x:x + w] = bg_rgb
+            transparent, delay_ms, disposal = None, 0, 0
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames, delays
         elif b == 0x3B:                   # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames, delays
 
 
-def gif_encode(indices, palette, interlaced: bool = False,
-               comment: bytes | None = None) -> bytes:
-    """Minimal valid GIF89a writer (fixture/test support for the
-    decoder): one frame from an (h, w) index array + palette, real LZW
-    constraints honored via the classic uncompressed technique (literal
-    codes with periodic CLEARs so the width never grows)."""
-    import struct
+def gif_decode_pixels(data: bytes):
+    """First composited frame of a GIF as a uint8 (h, w, 3) array."""
+    frames, _ = gif_decode_frames(data, max_frames=1)
+    return frames[0]
 
-    import numpy as np
-    idx = np.asarray(indices, dtype=np.uint8)
-    h, w = idx.shape
-    n = max(2, len(palette))
-    bits = max(1, (n - 1).bit_length())
-    size = 1 << bits
-    pal = bytearray()
-    for j in range(size):
-        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
-        pal.extend((r, g, b))
-    out = bytearray(b"GIF89a")
-    out.extend(struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0))
-    out.extend(pal)
-    if comment is not None:
-        out.extend(b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00")
-    out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
-                           0x40 if interlaced else 0))
-    rows = idx
-    if interlaced:
-        order = []
-        for start, step in _GIF_INTERLACE_PASSES:
-            order.extend(range(start, h, step))
-        rows = idx[order]
+
+def _gif_lzw_encode(flat, bits: int) -> tuple[int, bytes]:
+    """(min_code_size, stream): real LZW constraints honored via the
+    classic uncompressed technique — literal codes with periodic CLEARs
+    so the width never grows."""
     mcs = max(2, bits)
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
     codes = [clear]
-    flat = rows.reshape(-1)
-    span = (1 << mcs) - 2   # literals per clear window: width never grows
+    span = (1 << mcs) - 2   # literals per clear window
     for ci, v in enumerate(flat):
         if ci and ci % span == 0:
             codes.append(clear)
@@ -366,12 +386,76 @@ def gif_encode(indices, palette, interlaced: bool = False,
             nbits -= 8
     if nbits:
         stream.append(acc & 0xFF)
+    return mcs, bytes(stream)
+
+
+def _gif_frame_blocks(idx, bits: int, interlaced: bool,
+                      delay_ms: int | None = None) -> bytes:
+    """[GCE +] image descriptor + LZW sub-blocks for one frame."""
+    import struct
+    h, w = idx.shape
+    out = bytearray()
+    if delay_ms is not None:
+        out.extend(b"\x21\xf9\x04\x00"
+                   + struct.pack("<H", delay_ms // 10) + b"\x00\x00")
+    out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x40 if interlaced else 0))
+    rows = idx
+    if interlaced:
+        order = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        rows = idx[order]
+    mcs, stream = _gif_lzw_encode(rows.reshape(-1), bits)
     out.append(mcs)
     for o in range(0, len(stream), 255):
         blk = stream[o:o + 255]
         out.append(len(blk))
         out.extend(blk)
-    out.extend(b"\x00\x3b")
+    out.append(0x00)
+    return bytes(out)
+
+
+def _gif_header(w: int, h: int, palette) -> tuple[bytearray, int]:
+    import struct
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = bytearray()
+    for j in range(size):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        pal.extend((r, g, b))
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0))
+    out.extend(pal)
+    return out, bits
+
+
+def gif_encode(indices, palette, interlaced: bool = False,
+               comment: bytes | None = None) -> bytes:
+    """Minimal valid single-frame GIF89a writer (fixture/test support
+    for the decoder): an (h, w) index array + palette."""
+    import numpy as np
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    out, bits = _gif_header(w, h, palette)
+    if comment is not None:
+        out.extend(b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00")
+    out.extend(_gif_frame_blocks(idx, bits, interlaced))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_encode_animated(frames, palette, delay_ms: int = 100) -> bytes:
+    """Animated GIF89a writer (fixture/test support for the frame
+    sampler): every frame full-screen with a GCE delay."""
+    import numpy as np
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape
+    out, bits = _gif_header(w, h, palette)
+    for a in arrs:
+        out.extend(_gif_frame_blocks(a, bits, False, delay_ms=delay_ms))
+    out.append(0x3B)
     return bytes(out)
 
 
@@ -515,27 +599,62 @@ def media_near_dups(media: DataFrame, threshold: float = 0.99,
     return near_dup_pairs(feats, threshold=threshold)
 
 
-def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: emits (doc_id, frame_idx, frame binary) rows.
-    Frame extraction itself is faked (slices of the source bytes); the
-    one-to-many mapInPandas shape is the real thing."""
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 real: bool = False) -> DataFrame:
+    """Frame sampling: emits (doc_id, frame_idx, frame binary) rows —
+    one-to-many mapInPandas, map-only, no shuffle.
+
+    ``real=True``: animated GIFs (the one multi-frame container
+    decodable without a media library) decode for REAL — frames are
+    composited on the canvas, sampled along the GCE-delay timeline
+    (first frame of each ``every_ms`` bucket), and re-encoded as PNG
+    bytes so every downstream image stage (decode_image_features,
+    media_near_dups) consumes them unchanged. Other containers (mp4 et
+    al — pyav is the production swap-in inside this same mapper) keep
+    the deterministic byte-slice fake; a corrupt GIF quarantines to the
+    fake rather than failing the stage."""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
 
+    def fake_frames(doc_id, m, meta):
+        n_frames = max(1, (meta["duration_ms"] or 0) // every_ms) \
+            if isinstance(meta, dict) else 1
+        data = m or b""
+        return [(doc_id, i, data[i::max(1, int(n_frames))])
+                for i in range(int(n_frames))]
+
+    def gif_frames(doc_id, data):
+        frames, delays = gif_decode_frames(data)
+        out = []
+        t = 0
+        next_sample = 0
+        for j, (fr, d) in enumerate(zip(frames, delays)):
+            if t >= next_sample:
+                out.append((doc_id, len(out), png_encode(fr)))
+                next_sample = (t // every_ms + 1) * every_ms
+            t += d
+        return out
+
     def mapper(batches):
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            rows = []
             for doc_id, m, meta in zip(pdf["doc_id"], pdf["media"],
                                        pdf["meta"]):
-                n_frames = max(1, (meta["duration_ms"] or 0) // every_ms) \
-                    if isinstance(meta, dict) else 1
-                data = m or b""
-                for i in range(int(n_frames)):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(data[i::max(1, int(n_frames))])
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
-                                "frame": frames})
+                data = bytes(m) if m is not None else b""
+                if real and data[:6] in GIF_MAGICS:
+                    try:
+                        rows.extend(gif_frames(doc_id, data))
+                        continue
+                    except Exception:
+                        pass  # corrupt animation -> deterministic fake
+                rows.extend(fake_frames(doc_id, m, meta))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "frame"])
 
     return media.mapInPandas(
         mapper, schema="doc_id long, frame_idx int, frame binary")
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Back-compat alias: frame_sample with the deterministic fake."""
+    return frame_sample(media, every_ms, real=False)

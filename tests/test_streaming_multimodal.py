@@ -186,6 +186,42 @@ class TestGifDecode:
         with _pytest.raises(ValueError):
             mm.gif_decode_pixels(good[:20])  # truncated
 
+    def test_animated_frames_and_delays(self):
+        import numpy as np
+        pal = self._pal()
+        fr = [np.full((6, 8), k, dtype=np.uint8) for k in range(3)]
+        data = mm.gif_encode_animated(fr, pal, delay_ms=500)
+        frames, delays = mm.gif_decode_frames(data)
+        assert len(frames) == 3 and delays == [500, 500, 500]
+        pal_a = np.array(pal, dtype=np.uint8)
+        for k in range(3):
+            assert (frames[k] == pal_a[fr[k]]).all()
+
+
+def test_frame_sample_real_animated_gif(spark):
+    """frame_sample(real=True): an animated GIF's frames are REALLY
+    decoded, sampled on the delay timeline (every_ms buckets), and
+    emitted as PNG bytes the downstream image path can decode; corrupt
+    media falls back to the deterministic fake."""
+    import numpy as np
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    fr = [np.full((6, 8), k % 4, dtype=np.uint8) for k in range(5)]
+    data = mm.gif_encode_animated(fr, pal, delay_ms=500)  # 2.5s timeline
+    media = spark.createDataFrame(
+        [(1, "video", data,
+          {"mime": "image/gif", "width": 8, "height": 6,
+           "duration_ms": 2500})],
+        mm.MEDIA_SCHEMA)
+    rows = sorted(mm.frame_sample(media, every_ms=1000, real=True)
+                  .collect(), key=lambda r: r["frame_idx"])
+    # delays 0/500/1000/1500/2000 -> first frame of each 1000ms bucket:
+    # t=0 (frame 0), t=1000 (frame 2), t=2000 (frame 4)
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    pal_a = np.array(pal, dtype=np.uint8)
+    for r, src in zip(rows, (fr[0], fr[2], fr[4])):
+        px = mm.png_decode_pixels(bytes(r["frame"]))
+        assert (px == pal_a[src]).all()
+
 
 # CPython's own 16x16 test JPEG (Lib/test/imghdrdata/python.jpg) — a
 # real libjpeg-produced baseline file (standard quant + huffman tables,
