@@ -335,36 +335,51 @@ def simhash(docs: DataFrame) -> DataFrame:
     from .. import core  # definition-time capture -> pickled by value
 
     def mapper(batches):
-        import hashlib
-
         import numpy as np
-        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-        weights = (np.uint64(1) << shifts)
         for pdf in batches:
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
             ids = np.asarray(pdf["doc_id"], dtype=np.int64)
-            tb = core.batch_tokenize(texts)
-            counts = np.asarray(tb.counts, dtype=np.int64)
-            nz = counts > 0
+            nz, fp = simhash_of_texts(texts, core)
             if not nz.any():
                 continue
-            codes, uniq = pd.factorize(
-                np.array(tb.tokens, dtype=object), sort=False)
-            h60 = np.fromiter(
-                (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                 for t in uniq), dtype=np.uint64, count=len(uniq))
-            # (U, 60) bit matrix for the distinct tokens, gathered back to
-            # token grain; vote[d, b] = 2*sum(bits) - n_tokens[d]
-            bits = ((h60[:, None] >> shifts[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            tok_bits = bits[codes]
-            offsets = np.concatenate(
-                ([0], np.cumsum(counts)))[:-1][nz]
-            seg = np.add.reduceat(tok_bits, offsets, axis=0)
-            votes = 2 * seg - counts[nz][:, None]
-            fp = ((votes > 0).astype(np.uint64) * weights[None, :]) \
-                .sum(axis=1).astype(np.int64)
             yield pd.DataFrame({"doc_id": ids[nz], "simhash": fp})
 
     return docs.select("doc_id", "text").mapInPandas(
         mapper, schema="doc_id long, simhash long")
+
+
+def simhash_of_texts(texts, core):
+    """Per-batch fingerprint kernel shared by the batch operator and the
+    streaming ingest dedup: (has_tokens mask, int64 fingerprints for the
+    masked docs). One md5 per DISTINCT token, segment-summed bit votes
+    per doc. ``core`` is passed in (not imported here) so callers
+    capture it at closure-definition time and the pickled UDF stays
+    self-contained on workers without --py-files."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
+    tb = core.batch_tokenize(texts)
+    counts = np.asarray(tb.counts, dtype=np.int64)
+    nz = counts > 0
+    if not nz.any():
+        return nz, np.zeros(0, dtype=np.int64)
+    codes, uniq = pd.factorize(
+        np.array(tb.tokens, dtype=object), sort=False)
+    h60 = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+         for t in uniq), dtype=np.uint64, count=len(uniq))
+    # (U, 60) bit matrix for the distinct tokens, gathered back to
+    # token grain; vote[d, b] = 2*sum(bits) - n_tokens[d]
+    bits = ((h60[:, None] >> shifts[None, :])
+            & np.uint64(1)).astype(np.int64)
+    tok_bits = bits[codes]
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+    seg = np.add.reduceat(tok_bits, offsets, axis=0)
+    votes = 2 * seg - counts[nz][:, None]
+    fp = ((votes > 0).astype(np.uint64) * weights[None, :]) \
+        .sum(axis=1).astype(np.int64)
+    return nz, fp

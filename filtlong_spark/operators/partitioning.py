@@ -61,6 +61,37 @@ def repartition_salted(df: DataFrame, n_partitions: int,
         n_partitions, F.col(key), F.col("_salt"))
 
 
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 32,
+                   sort_cols: tuple[str, ...] | None = None) -> None:
+    """Persist ``df`` hash-BUCKETED on ``key`` (+ optionally sorted
+    within buckets) — remedy #3 from the module docstring, concretely:
+    two tables bucketed the same way equi-join WITHOUT any shuffle
+    exchange (Spark trusts the on-disk bucketing as the required
+    hash partitioning), which is the repeated-co-located-join shape a
+    100 TB pipeline wants for its big fact tables (pages joined to
+    per-url scores/labels round after round). The parquet rendering of
+    an Iceberg ``bucket(key, N)`` partition spec; saveAsTable uses the
+    session catalog's warehouse dir (no Hive metastore needed)."""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str,
+                  key: str, how: str = "inner") -> DataFrame:
+    """Equi-join two same-bucketed tables on their bucket key: with
+    matching bucket counts the plan is SortMergeJoin over the existing
+    on-disk layout — zero Exchange on either side (plan-asserted in
+    tests/test_partitioning.py). At 10^12 docs this turns every
+    score/label/dedup re-join from two corpus-wide shuffles into a
+    scan."""
+    return spark.table(left_table).join(spark.table(right_table),
+                                        key, how)
+
+
 def skew_aware_host_agg(pages: DataFrame, n_salts: int = 16) -> DataFrame:
     """Two-stage (salted) per-host aggregation: partial per (host, salt),
     final per host — the hot host's rows are reduced by n_salts tasks

@@ -112,6 +112,51 @@ def pages_stream_dedup(spark: SparkSession, source_dir: str,
             .dropDuplicatesWithinWatermark(["url"]))
 
 
+def pages_stream_near_dedup(spark: SparkSession, source_dir: str,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Streaming NEAR-dup dedup at ingest: the map-only simhash
+    fingerprint (operators/dedup.simhash — one Arrow pass, zero
+    shuffle, so it runs unchanged under Structured Streaming) keys a
+    watermarked dropDuplicatesWithinWatermark. Re-crawled pages whose
+    token multiset hashes to the same 60-bit fingerprint inside the
+    horizon are emitted once; state is evicted at the watermark, so it
+    stays bounded in a long-running stream. (Banded hamming-distance
+    near-dup — d<=3 rather than d==0 — stays a batch job over the
+    committed table: its self-join is not an incremental-stream
+    operator.) Docs with no tokens pass through undeduplicated."""
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+    from ..operators.dedup import simhash_of_texts
+
+    def mapper(batches):
+        import numpy as np
+        for pdf in batches:
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            nz, fp = simhash_of_texts(texts, core)
+            col = np.zeros(len(texts), dtype=object)
+            col[~nz] = None
+            col[nz] = fp
+            out = pdf.copy()
+            out["simhash"] = col
+            yield out
+
+    pages = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string").parquet(source_dir))
+    fp_pages = pages.mapInPandas(
+        mapper, schema="url string, warc_ts timestamp, html binary, "
+                       "text string, lang string, simhash long")
+    deduped = (fp_pages.filter(F.col("simhash").isNotNull())
+               .withWatermark("warc_ts", watermark)
+               .dropDuplicatesWithinWatermark(["simhash"])
+               .drop("simhash"))
+    return deduped.unionByName(
+        fp_pages.filter(F.col("simhash").isNull()).drop("simhash"))
+
+
 def run_available_now(spark: SparkSession, source_dir: str,
                       cfg: FilterConfig, sink_dir: str,
                       checkpoint_dir: str) -> None:

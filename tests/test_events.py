@@ -134,3 +134,38 @@ def test_streaming_dedup_by_url(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
     assert got == ["https://a.test/1", "https://a.test/2"]
+
+
+def test_streaming_near_dedup_by_simhash(spark, tmp_path):
+    """Streaming NEAR-dup dedup: a re-crawl with an identical token
+    multiset (different url, reordered whitespace) collapses onto the
+    same 60-bit simhash and is emitted once; distinct content and
+    token-less docs pass through."""
+    import datetime
+    from filtlong_spark.streaming import stream as st
+    src = str(tmp_path / "near_src")
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        ("https://a.test/1", t0, None, "the quick brown fox", None),
+        # same token multiset, different url + spacing -> same simhash
+        ("https://b.test/1", t0 + datetime.timedelta(minutes=5),
+         None, "the  quick  brown  fox", None),
+        ("https://a.test/2", t0, None, "completely different text", None),
+        ("https://a.test/empty", t0, None, "   ", None),  # no tokens
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string").write.parquet(src)
+    out_dir = str(tmp_path / "near_out")
+    ck = str(tmp_path / "ck_near")
+    q = (st.pages_stream_near_dedup(spark, src)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
+    # exactly one of the near-dup pair survives (microbatch order picks
+    # which); the distinct + token-less docs always pass
+    assert len(got) == 3
+    assert "https://a.test/2" in got and "https://a.test/empty" in got
+    assert len({u for u in got if u.endswith("/1")}) == 1

@@ -61,3 +61,38 @@ def test_skew_aware_host_agg_correct(spark):
     out = {(r["host"], r["n_docs"], r["chars"])
            for r in pt.skew_aware_host_agg(df).collect()}
     assert out == {("hot.example.com", 100, 500)}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed join (the Iceberg bucket(key, N) rendering):
+    two tables bucketed the same way on doc_id must equi-join with ZERO
+    shuffle Exchange in the physical plan — the repeated-join shape a
+    100 TB pipeline uses for its fact tables — and return exactly the
+    plain join's rows."""
+    # (warehouse dir is a static conf — tables land in the session
+    # default and are dropped below, which deletes managed-table data)
+    docs = fx.to_spark_df(spark, fx.volume(sf=0.002)) \
+        .withColumn("doc_id", F.xxhash64("url")) \
+        .select("doc_id", "url", "text")
+    scores = docs.select("doc_id", F.length("text").alias("n_chars"))
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast: test-sized tables would otherwise take a
+        # BroadcastHashJoin (which ignores bucketing); at fact-table
+        # scale neither side broadcasts and SMJ-over-buckets is the plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pt.write_bucketed(docs, "b_docs", "doc_id", n_buckets=8,
+                          sort_cols=("doc_id",))
+        pt.write_bucketed(scores, "b_scores", "doc_id", n_buckets=8,
+                          sort_cols=("doc_id",))
+        joined = pt.bucketed_join(spark, "b_docs", "b_scores", "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        got = joined.count()
+        exp = docs.join(scores, "doc_id").count()
+        assert got == exp > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")
