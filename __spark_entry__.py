@@ -298,6 +298,43 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_op.dedup_assign(d, pairs).orderBy("doc_id")
 
 
+LINE_WIDTH = 8          # tokens per derived line (fixture scaffolding)
+LINE_HEADER = "subscribe to our newsletter today"
+LINE_FOOTER = "copyright footer all rights reserved"
+
+
+def _lined_docs(spark, sf_dir):
+    """Deterministic multi-line variant of the documents table (the
+    testdata text is single-line): the token stream re-wraps into
+    8-token lines, doc_id%3 docs get a shared boilerplate header line
+    and doc_id%4 docs a shared footer — so line-level dedup has real
+    cross-document boilerplate to find. Mirrored verbatim in the SQL
+    oracle (same grouping arithmetic, same injected strings)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    ngroups = F.ceil(F.size(toks) / F.lit(LINE_WIDTH)).cast("int")
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), ngroups - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * LINE_WIDTH + 1, LINE_WIDTH),
+                        " ")), "\n")
+    text = F.concat(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(LINE_HEADER + "\n")).otherwise(F.lit("")),
+        body,
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\n" + LINE_FOOTER)).otherwise(F.lit("")))
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """CCNet/RefinedWeb-style LINE-level boilerplate dedup: lines
+    occurring in >= min_df distinct docs are removed everywhere,
+    survivors re-join in order (dedup.line_dedup)."""
+    return (dedup_op.line_dedup(_lined_docs(spark, sf_dir), min_df=50)
+            .orderBy("doc_id"))
+
+
 def q_simhash(spark, sf_dir):
     return dedup_op.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -589,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_groups": q_dedup_groups,
+        "dedup_lines": q_dedup_lines,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -1022,6 +1060,44 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
 ORDER BY doc_a, doc_b"""
+
+    sql["dedup_lines"] = f"""
+WITH lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{LINE_HEADER}' || chr(10) ELSE '' END
+         || array_to_string(list_transform(
+              generate_series(1, ((len(string_split(text, ' ')) - 1)
+                                  // {LINE_WIDTH}) + 1),
+              g -> array_to_string(
+                string_split(text, ' ')[(g-1)*{LINE_WIDTH}+1
+                                        : (g-1)*{LINE_WIDTH}+{LINE_WIDTH}],
+                ' ')), chr(10))
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || '{LINE_FOOTER}' ELSE '' END AS text
+  FROM {DOCS}
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM lined
+),
+hot AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 50
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN hot h USING (line)
+  WHERE h.line IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean
+FROM {DOCS} d LEFT JOIN clean c USING (doc_id)
+ORDER BY doc_id"""
 
     sql["simhash"] = f"""
 WITH toks AS (

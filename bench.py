@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "hard_rules", "window_quality", "final_score", "keep_budget",
     "refset_quality", "scrub_children", "langid", "quality_heuristics",
     "fingerprint", "dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
+    "dedup_lines",
     "simhash", "simhash_pairs", "ann_cosine", "ann_lsh", "ann_ivf",
     "dedup_text_embedding", "lm_quality", "pii_stats", "repetition",
     "events_rollup", "events_sessions", "url_canon", "dedup_url",

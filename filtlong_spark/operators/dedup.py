@@ -267,6 +267,44 @@ def dedup_assign(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .withColumn("is_dup", F.col("rep_id") != F.col("doc_id")))
 
 
+LINE_DEDUP_MIN_DF = 50
+
+
+def line_dedup(docs: DataFrame, min_df: int = LINE_DEDUP_MIN_DF,
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, text_clean): LINE-level boilerplate removal — the
+    CCNet/RefinedWeb dedup grain between exact-doc and near-doc: a line
+    occurring in >= min_df DISTINCT documents (cookie banners,
+    nav/footer boilerplate) is removed from every document; surviving
+    lines re-join in original order. Blank lines are never counted as
+    boilerplate (they'd all collapse onto one key).
+
+    Scale shape: two line-grain shuffles (the distinct-doc count and
+    the anti-join, both keyed on line content — partial aggregation
+    collapses repeats map-side, and the boilerplate table the anti-join
+    builds is tiny by construction) plus one doc-grain reassembly;
+    no all-pairs anything. Mirrored exactly by the dedup_lines DuckDB
+    oracle."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("pos", "line"))
+    hot = (lines.filter(F.trim(F.col("line")) != "")
+           .groupBy("line")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") >= min_df)
+           .select("line"))
+    kept = lines.join(hot, "line", "left_anti")
+    clean = (kept.groupBy("doc_id")
+             .agg(F.array_join(
+                 F.expr("transform(sort_array(collect_list("
+                        "struct(pos, line))), x -> x.line)"),
+                 "\n").alias("text_clean")))
+    # docs whose every line was boilerplate still appear (empty text)
+    return (docs.select("doc_id").join(clean, "doc_id", "left")
+            .na.fill({"text_clean": ""}))
+
+
 SIMHASH_BITS = 60     # production width: first 15 md5 hex chars -> exact
 SIMHASH_BANDS = 4     # BIGINT in both engines; 4 bands x 15 bits
 SIMHASH_MAX_DIST = 3  # any d<=3 pair must agree on >=1 band (pigeonhole)

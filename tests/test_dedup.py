@@ -121,3 +121,23 @@ def test_lsh_band_bucket_cap(spark):
     assert (1000, 1001) in {(r["doc_a"], r["doc_b"]) for r in pairs}
     uncapped = dedup.lsh_candidate_pairs(docs, max_bucket=None).count()
     assert uncapped >= 300 * 299 / 2     # proves the cap was load-bearing
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """CCNet-style line dedup: a line present in >= min_df distinct docs
+    disappears from every doc; unique lines survive in original order;
+    a doc of pure boilerplate comes back empty (not missing)."""
+    from filtlong_spark.operators import dedup as dd
+    rows = []
+    for i in range(6):
+        body = f"unique line alpha {i}\nBOILER\nunique line beta {i}"
+        rows.append((i, body))
+    rows.append((6, "BOILER"))            # all-boilerplate doc
+    rows.append((7, "no boiler here\n\nblank kept"))  # blanks never count
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_clean"]
+           for r in dd.line_dedup(df, min_df=5).collect()}
+    assert out[0] == "unique line alpha 0\nunique line beta 0"
+    assert out[6] == ""
+    assert out[7] == "no boiler here\n\nblank kept"
+    assert len(out) == 8
