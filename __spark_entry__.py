@@ -582,6 +582,19 @@ def q_split_assign(spark, sf_dir):
     return sampling.split_assign(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+HOST_GATE_MIN_Q = 99.9
+
+
+def q_host_gate(spark, sf_dir):
+    """Host/domain-level quality gate: per-host mean token quality
+    decides keep/drop for every doc of the host (the UT1/domain-filter
+    stage, derived from data)."""
+    from filtlong_spark.operators import partitioning as pt
+    return (pt.host_quality_gate(_docs(spark, sf_dir), VOCAB,
+                                 HOST_GATE_MIN_Q)
+            .orderBy("doc_id"))
+
+
 def q_dup_check(spark, sf_dir):
     """A4: duplicate-key data-quality gate (src/main.cpp:113-117)."""
     d = _docs(spark, sf_dir)
@@ -643,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "dedup_url": q_dedup_url,
         "split_assign": q_split_assign,
+        "host_gate": q_host_gate,
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
     }
@@ -1639,6 +1653,21 @@ SELECT doc_id, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id"""
+
+    sql["host_gate"] = f"""
+WITH per AS (
+  SELECT doc_id, source AS host,
+         len({TOKENS_SQL}) AS n_tok,
+         len(list_filter({TOKENS_SQL}, t -> t IN ({VOCAB_SQL}))) AS good
+  FROM {DOCS}
+),
+hs AS (
+  SELECT host, 100.0 * sum(good) / sum(n_tok) AS host_mean_q
+  FROM per GROUP BY host
+)
+SELECT p.doc_id, p.host, h.host_mean_q,
+       h.host_mean_q >= {HOST_GATE_MIN_Q} AS keep
+FROM per p JOIN hs h USING (host) ORDER BY doc_id"""
 
     sql["dup_check"] = f"""
 SELECT doc_id, count(*) AS n FROM {DOCS}

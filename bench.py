@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "simhash", "simhash_pairs", "ann_cosine", "ann_lsh", "ann_ivf",
     "dedup_text_embedding", "lm_quality", "pii_stats", "repetition",
     "events_rollup", "events_sessions", "url_canon", "dedup_url",
-    "split_assign",
+    "split_assign", "host_gate",
 ]
 
 

@@ -61,6 +61,41 @@ def repartition_salted(df: DataFrame, n_partitions: int,
         n_partitions, F.col(key), F.col("_salt"))
 
 
+def host_quality_gate(docs: DataFrame, vocab,
+                      min_host_mean_q: float,
+                      host_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """HOST-level quality filtering (the UT1-blocklist / domain-filter
+    stage of a crawl pipeline, derived from data instead of a list):
+    per-host mean token quality over the whole corpus decides keep/drop
+    for every document of that host — low-quality domains (spam farms,
+    SEO link mills) are cut wholesale even when individual pages squeak
+    past per-doc thresholds.
+
+    Scale shape: one explode + hash aggregate at doc grain, a host-grain
+    re-aggregate (rows = distinct hosts, tiny), and an AQE-broadcast
+    join back to doc grain — host skew never concentrates load because
+    the per-host row is built by partial aggregation, not by grouping
+    raw docs onto one task. Returns (doc_id, host, host_mean_q, keep).
+    Exact integer-count ratios -> mirrored bit-for-bit by the
+    host_gate DuckDB oracle."""
+    from ..functions import textstats as ts
+    toks = docs.select(F.col("doc_id"), F.col(host_col).alias("host"),
+                       F.explode(ts.tokens_col()).alias("tok"))
+    per_doc = (toks.groupBy("doc_id", "host")
+               .agg(F.count(F.lit(1)).alias("n_tok"),
+                    F.sum(F.when(F.col("tok").isin(*vocab), 1)
+                          .otherwise(0)).alias("good")))
+    host_stats = (per_doc.groupBy("host")
+                  .agg((100.0 * F.sum("good") / F.sum("n_tok"))
+                       .alias("host_mean_q")))
+    return (per_doc.select("doc_id", "host")
+            .join(host_stats, "host")
+            .withColumn("keep",
+                        F.col("host_mean_q") >= F.lit(min_host_mean_q))
+            .select("doc_id", "host", "host_mean_q", "keep"))
+
+
 def write_bucketed(df: DataFrame, table: str, key: str,
                    n_buckets: int = 32,
                    sort_cols: tuple[str, ...] | None = None) -> None:

@@ -96,3 +96,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_host_quality_gate_cuts_bad_domain(spark):
+    """Host-level gate: every doc of a low-quality domain drops, even
+    pages that would pass a per-doc threshold; good-domain docs keep."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "the fast sort join hash", "en", "good.com", 23))
+    for i in range(10, 20):
+        # 9 junk pages + 1 clean page on the spam domain: the clean page
+        # must STILL drop (host-level semantics)
+        text = "the fast sort join hash" if i == 10 else "zz xx qq ww vv"
+        rows.append((i, text, "en", "spam.com", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    vocab = ["the", "fast", "sort", "join", "hash"]
+    out = {r["doc_id"]: (r["host"], r["keep"])
+           for r in pt.host_quality_gate(df, vocab, 50.0).collect()}
+    assert all(out[i] == ("good.com", True) for i in range(10))
+    assert all(out[i] == ("spam.com", False) for i in range(10, 20))
