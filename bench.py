@@ -224,7 +224,13 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         lm_docs = int(os.environ.get("BENCH_LM_BIG_DOCS", "50000"))
         lm_path = os.path.join(os.path.dirname(big_path),
                                f"pages_lm_{lm_docs}.parquet")
-        if not os.path.exists(os.path.join(lm_path, "_SUCCESS")):
+        lm_ok = os.path.join(lm_path, "_SUCCESS")
+        big_ok = os.path.join(big_path, "_SUCCESS")
+        # regenerate when missing OR older than the input it was sliced
+        # from (a stale slice would silently benchmark the OLD corpus)
+        if not os.path.exists(lm_ok) or (
+                os.path.exists(big_ok)
+                and os.path.getmtime(lm_ok) < os.path.getmtime(big_ok)):
             (spark.read.parquet(big_path).limit(lm_docs)
              .repartition(cpus).write.mode("overwrite").parquet(lm_path))
         out["big_input_lm"] = run_pipeline_lm(

@@ -386,6 +386,23 @@ def simhash(docs: DataFrame) -> DataFrame:
         mapper, schema="doc_id long, simhash long")
 
 
+def md5_60_of_distinct(tokens):
+    """(codes, h60): factorize a flat token list and md5-hash each
+    DISTINCT token once to its 60-bit prefix (first 15 hex chars) — the
+    ONE hash kernel every md5-keyed operator shares (simhash votes,
+    hashed-BoW embedding dims); both DuckDB oracles depend on this exact
+    prefix width, so there is exactly one copy of it."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    codes, uniq = pd.factorize(np.array(tokens, dtype=object), sort=False)
+    h60 = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+         for t in uniq), dtype=np.uint64, count=len(uniq))
+    return codes, h60
+
+
 def simhash_of_texts(texts, core):
     """Per-batch fingerprint kernel shared by the batch operator and the
     streaming ingest dedup: (has_tokens mask, int64 fingerprints for the
@@ -393,10 +410,7 @@ def simhash_of_texts(texts, core):
     per doc. ``core`` is passed in (not imported here) so callers
     capture it at closure-definition time and the pickled UDF stays
     self-contained on workers without --py-files."""
-    import hashlib
-
     import numpy as np
-    import pandas as pd
 
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     weights = (np.uint64(1) << shifts)
@@ -405,11 +419,7 @@ def simhash_of_texts(texts, core):
     nz = counts > 0
     if not nz.any():
         return nz, np.zeros(0, dtype=np.int64)
-    codes, uniq = pd.factorize(
-        np.array(tb.tokens, dtype=object), sort=False)
-    h60 = np.fromiter(
-        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-         for t in uniq), dtype=np.uint64, count=len(uniq))
+    codes, h60 = md5_60_of_distinct(tb.tokens)
     # (U, 60) bit matrix for the distinct tokens, gathered back to
     # token grain; vote[d, b] = 2*sum(bits) - n_tokens[d]
     bits = ((h60[:, None] >> shifts[None, :])

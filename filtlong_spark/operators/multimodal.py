@@ -290,6 +290,8 @@ def gif_decode_frames(data: bytes, max_frames: int | None = None):
             ext = data[i + 1] if i + 1 < len(data) else 0
             i += 2
             if ext == 0xF9 and i < len(data) and data[i] >= 4:
+                if i + 5 > len(data):
+                    raise ValueError("truncated GIF graphic control")
                 gflags = data[i + 1]
                 delay_ms = struct.unpack("<H", data[i + 2:i + 4])[0] * 10
                 transparent = data[i + 4] if gflags & 0x01 else None
@@ -334,6 +336,7 @@ def gif_decode_frames(data: bytes, max_frames: int | None = None):
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("palette index out of range")
             region = canvas[y:y + h, x:x + w]
+            prev_region = region.copy() if disposal == 3 else None
             if transparent is not None:
                 mask = idx != transparent
                 region[mask] = pal[idx][mask]
@@ -343,6 +346,8 @@ def gif_decode_frames(data: bytes, max_frames: int | None = None):
             delays.append(delay_ms)
             if disposal == 2:             # restore to background
                 canvas[y:y + h, x:x + w] = bg_rgb
+            elif disposal == 3:           # restore to previous canvas
+                canvas[y:y + h, x:x + w] = prev_region
             transparent, delay_ms, disposal = None, 0, 0
             if max_frames is not None and len(frames) >= max_frames:
                 return frames, delays

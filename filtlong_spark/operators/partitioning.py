@@ -82,10 +82,15 @@ def host_quality_gate(docs: DataFrame, vocab,
     from ..functions import textstats as ts
     toks = docs.select(F.col("doc_id"), F.col(host_col).alias("host"),
                        F.explode(ts.tokens_col()).alias("tok"))
-    per_doc = (toks.groupBy("doc_id", "host")
+    counted = (toks.groupBy("doc_id", "host")
                .agg(F.count(F.lit(1)).alias("n_tok"),
                     F.sum(F.when(F.col("tok").isin(*vocab), 1)
                           .otherwise(0)).alias("good")))
+    # zero-token docs emit no explode rows — rejoin the doc list so
+    # EVERY doc gets its host's verdict (and the oracle row counts match)
+    per_doc = (docs.select("doc_id", F.col(host_col).alias("host"))
+               .join(counted, ["doc_id", "host"], "left")
+               .na.fill({"n_tok": 0, "good": 0}))
     host_stats = (per_doc.groupBy("host")
                   .agg((100.0 * F.sum("good") / F.sum("n_tok"))
                        .alias("host_mean_q")))

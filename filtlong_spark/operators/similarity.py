@@ -431,10 +431,9 @@ def embed_text(docs: DataFrame, dim: int = 32) -> DataFrame:
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
     from .. import core  # definition-time capture -> pickled by value
+    from .dedup import md5_60_of_distinct  # the ONE md5-60 kernel
 
     def mapper(batches):
-        import hashlib
-
         import numpy as np
         for pdf in batches:
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
@@ -444,11 +443,8 @@ def embed_text(docs: DataFrame, dim: int = 32) -> DataFrame:
             nz = counts > 0
             if not nz.any():
                 continue
-            codes, uniq = pd.factorize(
-                np.array(tb.tokens, dtype=object), sort=False)
-            d_of_uniq = np.fromiter(
-                (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                 % dim for t in uniq), dtype=np.int64, count=len(uniq))
+            codes, h60 = md5_60_of_distinct(tb.tokens)
+            d_of_uniq = (h60 % np.uint64(dim)).astype(np.int64)
             doc_of = np.asarray(tb.doc_of, dtype=np.int64)
             flat = doc_of * dim + d_of_uniq[codes]
             E = np.bincount(flat, minlength=len(texts) * dim) \

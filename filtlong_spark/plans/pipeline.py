@@ -158,21 +158,25 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
             elif ref_pages is not None:
                 lm_tables = lm_op.lm_count_tables(ref_pages,
                                                   cfg.lm_min_count)
-        if lm_strategy == "distributed":
-            # LM scale path: token-grain Catalyst joins against the count
-            # tables — the model is never collected anywhere
-            scored = lm_op.score_and_scrub_distributed(
-                spark, valid, cfg, ref_pages, tables=lm_tables)
-        else:
-            accepted_bc = refset_op.build_broadcast(spark, cfg, ref_pages,
-                                                    lm_tables=lm_tables)
-            scored = score_op.score_and_scrub(valid, cfg, accepted_bc)
-        reads2, _ = output_op.checkpoint(
-            scored, spark, os.path.join(scratch, "reads2"), resume=False)
-        if lm_tables is not None:
-            # the committed snapshot is materialized — the cached count
-            # tables have served both the planning pass and the scoring job
-            lm_tables.release()
+        try:
+            if lm_strategy == "distributed":
+                # LM scale path: token-grain Catalyst joins against the
+                # count tables — the model is never collected anywhere
+                scored = lm_op.score_and_scrub_distributed(
+                    spark, valid, cfg, ref_pages, tables=lm_tables)
+            else:
+                accepted_bc = refset_op.build_broadcast(
+                    spark, cfg, ref_pages, lm_tables=lm_tables)
+                scored = score_op.score_and_scrub(valid, cfg, accepted_bc)
+            reads2, _ = output_op.checkpoint(
+                scored, spark, os.path.join(scratch, "reads2"),
+                resume=False)
+        finally:
+            if lm_tables is not None:
+                # the committed snapshot is materialized (or the job
+                # failed) — either way the cached count tables must not
+                # stay pinned in executor storage
+                lm_tables.release()
         try:
             total_input_chars = obs.get["total_chars"] or 0
         except Exception:

@@ -119,8 +119,13 @@ def decode_http_body(body: bytes, http: dict[str, str]) -> str:
     if m:
         try:
             return body.decode(m.group(1), "replace")
-        except LookupError:
-            pass  # unknown/typo'd charset label -> utf-8 fallback
+        except (LookupError, UnicodeError, ValueError):
+            # unknown/typo'd labels raise LookupError; labels naming
+            # non-charset codecs ('idna', 'punycode') raise
+            # UnicodeError/UnicodeDecodeError even WITH errors='replace'
+            # — every shape degrades to the utf-8 fallback, none may
+            # kill the ingest task
+            pass
     return body.decode("utf-8", "replace")
 
 

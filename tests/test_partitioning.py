@@ -109,6 +109,7 @@ def test_host_quality_gate_cuts_bad_domain(spark):
         # must STILL drop (host-level semantics)
         text = "the fast sort join hash" if i == 10 else "zz xx qq ww vv"
         rows.append((i, text, "en", "spam.com", len(text)))
+    rows.append((20, "   ", "en", "good.com", 3))  # zero-token doc
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long")
@@ -117,3 +118,6 @@ def test_host_quality_gate_cuts_bad_domain(spark):
            for r in pt.host_quality_gate(df, vocab, 50.0).collect()}
     assert all(out[i] == ("good.com", True) for i in range(10))
     assert all(out[i] == ("spam.com", False) for i in range(10, 20))
+    # a token-less doc still gets its host's verdict (not dropped)
+    assert out[20] == ("good.com", True)
+    assert len(out) == 21

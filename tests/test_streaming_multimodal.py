@@ -417,3 +417,52 @@ def test_media_near_dups_real_pixels(spark):
                                          real=True).collect()}
     assert pairs.get((1, 2), 0.0) >= 0.999
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the image codecs are fresh hand-written code — fuzz the
+# round-trips over random shapes/contents (no Spark; pure kernels).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as hst
+
+
+@settings(max_examples=25, deadline=None)
+@given(hst.integers(1, 24), hst.integers(1, 24), hst.sampled_from([1, 3, 4]),
+       hst.sampled_from([0, 1, 2, 3, 4]), hst.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, ch, filter_type, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    out = mm.png_decode_pixels(mm.png_encode(px, filter_type=filter_type))
+    assert out.shape == (h, w, ch)
+    assert (out == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(hst.integers(1, 24), hst.integers(1, 24), hst.integers(2, 16),
+       hst.booleans(), hst.integers(0, 2**32 - 1))
+def test_gif_roundtrip_property(h, w, ncolors, interlaced, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3))
+           for _ in range(ncolors)]
+    idx = rng.integers(0, ncolors, (h, w)).astype(np.uint8)
+    out = mm.gif_decode_pixels(
+        mm.gif_encode(idx, pal, interlaced=interlaced))
+    assert out.shape == (h, w, 3)
+    assert (out == np.array(pal, dtype=np.uint8)[idx]).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(hst.integers(1, 24), hst.integers(1, 24), hst.integers(0, 2**32 - 1))
+def test_jpeg_roundtrip_property(h, w, seed):
+    """4:4:4 + all-ones quant: decode(encode(px)) within +-3 of px for
+    ANY content (the only loss is DCT/color-space float rounding)."""
+    import numpy as np
+    from filtlong_spark.operators import jpeg
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(px))
+    assert out.shape == (h, w, 3)
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 3

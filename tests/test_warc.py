@@ -79,13 +79,18 @@ def test_warc_charset_and_content_type(tmp_path):
                       b"%PDF-1.4", content_type="application/pdf")
             + _record("https://a.test/badcs", "2024-03-01T12:03:00Z",
                       b"<p>plain ascii</p>", charset="no-such-charset")
+            + _record("https://a.test/idna", "2024-03-01T12:03:30Z",
+                      b"<p>codec not charset</p>", charset="idna")
             + _record("https://a.test/plain", "2024-03-01T12:04:00Z",
                       "just text", content_type="text/plain"))
     p = tmp_path / "cs.warc"
     p.write_bytes(data)
     rows = {r["url"]: r for r in warc.iter_warc_pages(str(p))}
     assert set(rows) == {"https://a.test/latin", "https://a.test/badcs",
-                         "https://a.test/plain"}
+                         "https://a.test/idna", "https://a.test/plain"}
+    # 'idna' is a real codec but not a charset: decoding raises
+    # UnicodeError even with errors='replace' — must degrade, not kill
+    assert "codec not charset" in rows["https://a.test/idna"]["text"]
     assert "café français" in rows["https://a.test/latin"]["text"]
     assert "plain ascii" in rows["https://a.test/badcs"]["text"]
     assert rows["https://a.test/plain"]["text"] == "just text"
