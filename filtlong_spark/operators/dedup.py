@@ -148,6 +148,10 @@ def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3,
             for b, key in band_rows])).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"),
              F.col("bk.band_key").alias("band_key"))
+    # the band table is consumed 4x (bucket sizes + both self-join
+    # sides): localCheckpoint materializes the Python shingling pass
+    # ONCE (~40 B/doc rows) instead of re-executing it per consumer
+    bands = bands.localCheckpoint(eager=False)
     bands = _cap_buckets(bands, ["band", "band_key"], max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -178,6 +182,9 @@ def jaccard_pairs(docs: DataFrame, shingle_n: int = 5,
     the informative shingles only — the standard stop-shingle semantics,
     mirrored exactly in the DuckDB oracle."""
     sh = _doc_shingles(docs, shingle_n)
+    # consumed 4x (doc-frequency count, sizes, both join sides):
+    # materialize the shingling pass once
+    sh = sh.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         dfreq = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                  .filter(F.col("df") <= max_doc_freq))
@@ -340,6 +347,9 @@ def simhash_band_pairs(fps: DataFrame,
             for b in range(SIMHASH_BANDS)])).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
+    # consumed 4x (bucket sizes + both self-join sides): materialize the
+    # fingerprint mapper once instead of re-running it per consumer
+    bands = bands.localCheckpoint(eager=False)
     bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -260,6 +260,9 @@ def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
     sf-testdata oracle runs the same path at 6 because the synthetic
     embeddings carry no near-dups — max pairwise cos ~0.51)."""
     bands = lsh_band_keys(emb, n_bands, band_bits, center)
+    # consumed 4x (bucket sizes + both join sides): materialize the
+    # numpy banding pass once (~24 B/row) instead of re-running it
+    bands = bands.localCheckpoint(eager=False)
     bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     probes = bands.select(F.col("vec_id").alias("probe_id"), "band", "key")
     if probe_max_id is not None:
