@@ -109,3 +109,29 @@ def test_pipeline_canonical_url_dedup(spark):
                     "https://a.test/page?utm_source=feed"]  # first wins
     q = {r["url"]: r["reason"] for r in res2.quarantine.collect()}
     assert q == {"HTTPS://A.test/page#top": "duplicate_canonical_url"}
+
+
+def test_canonical_url_idempotent_property(spark):
+    """Property: canonicalization is a projection — applying it twice
+    equals applying it once, over randomized crawl-noise URLs built from
+    every rule family (case, ports, fragments, tracking/empty params,
+    percent-encoding in either hex case)."""
+    import random
+    rng = random.Random(7)
+    parts = ["%7e", "%7E", "%2f", "a", "Doc", "7", "%64", "x%3by"]
+    urls = []
+    for i in range(120):
+        scheme = rng.choice(["http", "https", "HTTPS"])
+        host = rng.choice(["A.Test", "b.example.COM"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = "/" + "/".join(rng.sample(parts, rng.randint(1, 3)))
+        path += rng.choice(["", "/"])
+        q = rng.choice(["", "?utm_source=s", "?&&", "?q=1&utm_x=2",
+                        "?%75tm_source=x&k=v", "?a=%3b"])
+        frag = rng.choice(["", "#top"])
+        urls.append((f"{scheme}://{host}{port}{path}{q}{frag}",))
+    df = spark.createDataFrame(urls, "url string")
+    once = df.select(weburl.canonical_url_col(F.col("url")).alias("u"))
+    twice = once.select(weburl.canonical_url_col(F.col("u")).alias("u"))
+    assert [r["u"] for r in once.collect()] == \
+        [r["u"] for r in twice.collect()]
