@@ -592,6 +592,23 @@ LANG_SAMPLES = {
            "الهادئ حيث يقرا الناس كتبهم ويتحدثون عن الطقس مع اصدقائهم "
            "لان النهار طويل والعمل قد انجز وكل شيء في المدينة يبدو "
            "هادئا وبسيطا"),
+    "ja": ("すばやい茶色のきつねはなまけものの犬をとびこえてそれから小さな"
+           "子どもたちは古い学校へあるいていきます朝のひかりはしずかな通り"
+           "におちて人びとはそこで本をよみ友だちと天気についてはなします"
+           "一日はながくしごとはおわり町のすべてはおだやかでかんたんに"
+           "みえます春のかぜが野をわたり川の水はゆっくりとながれて老人は"
+           "門のまえにすわって子どもたちのあそぶのをみています"),
+    "ko": ("빠른 갈색 여우가 게으른 개를 뛰어넘고 그 다음 어린 아이들은 "
+           "오래된 학교로 걸어갑니다 아침 햇살이 조용한 거리에 내리고 "
+           "사람들은 그곳에서 책을 읽으며 친구들과 날씨에 대해 이야기합니다 "
+           "하루는 길고 일은 끝났으며 마을의 모든 것이 평온하고 단순해 "
+           "보입니다 봄바람이 들판을 지나고 강물은 천천히 흘러갑니다"),
+    "hi": ("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूदती है और फिर छोटे "
+           "बच्चे पुराने स्कूल की ओर चलते हैं जबकि सुबह की रोशनी शांत "
+           "गली पर गिरती है जहाँ लोग अपनी किताबें पढ़ते हैं और अपने "
+           "दोस्तों के साथ मौसम के बारे में बात करते हैं क्योंकि दिन लंबा "
+           "है और काम पूरा हो गया है और कस्बे में सब कुछ शांत और सरल "
+           "लगता है"),
 }
 
 TRIGRAM_TOP_K = 200

@@ -263,6 +263,13 @@ def langid_suite() -> list[dict]:
         "ar": ("يمشي الاصدقاء في المدينة الهادئة صباحا ويقرا الاطفال "
                "كتبهم المفضلة عن الطقس والعمل بينما يسقط الضوء على "
                "الشارع"),
+        "ja": ("友だちは朝にしずかな町をあるいて子どもたちは天気としごとに"
+               "ついてのすきな本をよんでいます通りにひかりがおちています"),
+        "ko": ("친구들은 아침에 조용한 마을을 걷고 아이들은 날씨와 일에 "
+               "관한 좋아하는 책을 읽습니다 거리에 햇살이 내립니다"),
+        "hi": ("दोस्त सुबह शांत कस्बे में चलते हैं और बच्चे मौसम और काम "
+               "के बारे में अपनी पसंदीदा किताबें पढ़ते हैं गली पर रोशनी "
+               "गिरती है"),
     }
     return [_row(f"https://fixture.test/lang/{lang}", " ".join([txt] * 3),
                  lang, i)

@@ -96,7 +96,7 @@ class TestLangidCore:
 
     def test_profiles_deterministic(self):
         p1 = core.trigram_profiles()
-        assert len(p1) == 9
+        assert len(p1) == 12
         # zh's sample has fewer distinct trigrams than TOP_K (every char
         # trigram is near-unique) — profiles are capped, not padded
         assert all(0 < len(v) <= core.TRIGRAM_TOP_K for v in p1.values())
@@ -112,6 +112,12 @@ class TestLangidCore:
         assert core.predict_lang("孩子们早晨在学校读着他们的书")[0] == "zh"
         assert core.predict_lang(
             "يقرا الاطفال كتبهم في الصباح في المدينة")[0] == "ar"
+        assert core.predict_lang(
+            "子どもたちは朝に学校で本をよみます")[0] == "ja"
+        assert core.predict_lang(
+            "아이들은 아침에 학교에서 책을 읽습니다")[0] == "ko"
+        assert core.predict_lang(
+            "बच्चे सुबह स्कूल में किताबें पढ़ते हैं")[0] == "hi"
         # Latin-script additions too
         assert core.predict_lang(
             "i bambini leggono i loro libri al mattino")[0] == "it"
@@ -144,7 +150,7 @@ class TestPipeline:
                     for r in res_s.lang_rejected.collect()}
         assert rejected == {
             f"https://fixture.test/lang/{lang}": lang
-            for lang in ("de", "fr", "es", "ru", "zh", "ar")}
+            for lang in ("de", "fr", "es", "ru", "zh", "ar", "ja", "ko", "hi")}
 
     def test_langid_gate_non_latin_expected(self, spark):
         """langid_expected='zh': the CJK doc survives the gate — a
