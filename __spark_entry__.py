@@ -1662,7 +1662,9 @@ WITH per AS (
   FROM {DOCS}
 ),
 hs AS (
-  SELECT host, 100.0 * sum(good) / sum(n_tok) AS host_mean_q
+  SELECT host, CASE WHEN sum(n_tok) > 0
+              THEN 100.0 * sum(good) / sum(n_tok)
+              ELSE 0.0 END AS host_mean_q
   FROM per GROUP BY host
 )
 SELECT p.doc_id, p.host, h.host_mean_q,

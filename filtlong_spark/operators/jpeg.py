@@ -80,8 +80,13 @@ class _BitReader:
                 raise ValueError("unexpected marker in entropy stream")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        # _fill only runs when nbits == 0, so any previously consumed
+        # bits in acc are dead weight — assigning (not accumulating)
+        # keeps acc a 1-byte int and the whole decode linear in the
+        # entropy-stream length (an accumulating acc turns a multi-MB
+        # crawl JPEG into an O(N^2) Python-bigint shift per fill).
+        self.acc = b
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:

@@ -350,6 +350,15 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
                     continue
                 pos = np.asarray(pos, dtype=np.int64)
                 fl = np.asarray(flags, dtype=np.int8)
+                # exactly one pos=-1 metadata sentinel per document; two
+                # means an xxhash64(url) doc_key collision merged two
+                # docs — refuse to emit silently-corrupt rows
+                if int((pos == -1).sum()) != 1:
+                    raise RuntimeError(
+                        "doc_key collision: %d sentinel rows under one "
+                        "key (url=%r) — two documents hashed to the same "
+                        "xxhash64(url); add a second hash column to the "
+                        "doc_key grouping" % (int((pos == -1).sum()), url))
                 tok_m = pos >= 0
                 q = (fl[tok_m] & 1).astype(np.float64)
                 mq = core.mean_quality(q)
@@ -406,8 +415,19 @@ def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
         tables = lm_count_tables(ref_pages, cfg.lm_min_count)
     c1, c2e, total = tables.c1, tables.c2e, tables.total
     scrub = cfg.trim or cfg.split is not None or cfg.pii_scrub
+    # doc_key must be DETERMINISTIC under stage retry: a re-evaluated
+    # lineage with different partitioning must key each doc identically,
+    # or one doc's token rows land under two keys (duplicate/partial
+    # READS2 rows). monotonically_increasing_id depends on partition
+    # layout (ingest.py:30 avoids it for the same reason); xxhash64(url)
+    # is pure row-content. READS2 identity is url (ingest dedups it). A
+    # 64-bit collision (expected ~n^2/2^65 pairs: ~30k at 10^12 docs,
+    # i.e. 6e-8 of the corpus) would merge two docs under one key — the
+    # reassemble mapper detects the double sentinel and raises, so a
+    # collision fails loudly instead of silently corrupting; the escape
+    # hatch at that scale is a second hash column in the grouping key.
     keyed = pages.select(
-        F.monotonically_increasing_id().alias("doc_key"), "url", "text")
+        F.xxhash64("url").alias("doc_key"), "url", "text")
     tok_rows = keyed.mapInPandas(make_token_mapper(cfg), schema=TOK_SCHEMA)
     painted = paint_goodness(tok_rows, c1, c2e, total, cfg.lm_threshold)
     # one shuffle on the int64 doc_key (the hash-partial aggregate

@@ -637,7 +637,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
             if t >= next_sample:
                 out.append((doc_id, len(out), png_encode(fr)))
                 next_sample = (t // every_ms + 1) * every_ms
-            t += d
+            # zero-delay GCEs are rampant in crawled GIFs; browsers
+            # clamp 0 to ~100 ms, so mirror that — otherwise the
+            # timeline never advances and the whole animation
+            # collapses into one sampled frame.
+            t += d if d > 0 else 100
         return out
 
     def mapper(batches):

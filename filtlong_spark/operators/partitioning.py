@@ -91,8 +91,14 @@ def host_quality_gate(docs: DataFrame, vocab,
     per_doc = (docs.select("doc_id", F.col(host_col).alias("host"))
                .join(counted, ["doc_id", "host"], "left")
                .na.fill({"n_tok": 0, "good": 0}))
+    # a host whose docs ALL tokenize to zero tokens would divide 0/0:
+    # Spark yields NULL (silently dropped by filter(keep)) while DuckDB
+    # yields NaN -> keep=false — guard to a concrete 0.0 in BOTH engines
+    # (the oracle SQL mirrors this CASE) so `keep` is always boolean.
     host_stats = (per_doc.groupBy("host")
-                  .agg((100.0 * F.sum("good") / F.sum("n_tok"))
+                  .agg(F.when(F.sum("n_tok") > 0,
+                              100.0 * F.sum("good") / F.sum("n_tok"))
+                       .otherwise(F.lit(0.0))
                        .alias("host_mean_q")))
     return (per_doc.select("doc_id", "host")
             .join(host_stats, "host")

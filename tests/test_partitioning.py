@@ -110,6 +110,11 @@ def test_host_quality_gate_cuts_bad_domain(spark):
         text = "the fast sort join hash" if i == 10 else "zz xx qq ww vv"
         rows.append((i, text, "en", "spam.com", len(text)))
     rows.append((20, "   ", "en", "good.com", 3))  # zero-token doc
+    # a host whose docs ALL tokenize empty: 0/0 must yield a CONCRETE
+    # keep=False (host_mean_q 0.0), not a NULL silently dropped by
+    # filter(keep) — the ADVICE r4 divergence vs DuckDB NaN semantics
+    rows.append((21, "", "en", "void.com", 0))
+    rows.append((22, " \t ", "en", "void.com", 3))
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long")
@@ -120,4 +125,7 @@ def test_host_quality_gate_cuts_bad_domain(spark):
     assert all(out[i] == ("spam.com", False) for i in range(10, 20))
     # a token-less doc still gets its host's verdict (not dropped)
     assert out[20] == ("good.com", True)
-    assert len(out) == 21
+    # all-zero-token host: keep is a concrete False, never NULL
+    assert out[21] == ("void.com", False)
+    assert out[22] == ("void.com", False)
+    assert len(out) == 23

@@ -223,6 +223,30 @@ def test_frame_sample_real_animated_gif(spark):
         assert (px == pal_a[src]).all()
 
 
+def test_frame_sample_zero_delay_gif_advances_timeline(spark):
+    """Zero-delay GCEs (rampant in crawled GIFs; browsers clamp to
+    ~100 ms) must still advance the sampling timeline — a 30-frame
+    all-zero-delay animation samples multiple frames, not one."""
+    import numpy as np
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    fr = [np.full((4, 4), k % 4, dtype=np.uint8) for k in range(30)]
+    data = mm.gif_encode_animated(fr, pal, delay_ms=0)
+    media = spark.createDataFrame(
+        [(1, "video", data,
+          {"mime": "image/gif", "width": 4, "height": 4,
+           "duration_ms": 0})],
+        mm.MEDIA_SCHEMA)
+    rows = mm.frame_sample(media, every_ms=1000, real=True).collect()
+    # 30 frames at the 100ms clamp = 3.0s timeline -> buckets at
+    # t=0, t=1000, t=2000: frames 0, 10, 20
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]
+    pal_a = np.array(pal, dtype=np.uint8)
+    by_idx = {r["frame_idx"]: r for r in rows}
+    for i, src in zip((0, 1, 2), (fr[0], fr[10], fr[20])):
+        px = mm.png_decode_pixels(bytes(by_idx[i]["frame"]))
+        assert (px == pal_a[src]).all()
+
+
 # CPython's own 16x16 test JPEG (Lib/test/imghdrdata/python.jpg) — a
 # real libjpeg-produced baseline file (standard quant + huffman tables,
 # subsampled chroma): the decoder must handle files we did not write.
