@@ -11,8 +11,10 @@ oracle SQL in __spark_entry__.py):
 4. percent-encoding normalization (RFC 3986 §6.2.2): decode %XX for the
    UNRESERVED set (ALPHA / DIGIT / ``-._~`` — e.g. ``%7E`` -> ``~``),
    either hex case, and uppercase the hex of every still-encoded octet
-   (``%3a`` -> ``%3A``). Rendered as a generated chain of literal
-   replaces — identical rule list, identical order, in both engines
+   (``%3a`` -> ``%3A``). One generated rule list (``percent_rules``),
+   applied as a SEQUENTIAL literal replace chain in both engines: an
+   Arrow-batched pandas kernel Spark-side, nested ``replace()`` CTE
+   layers in the DuckDB oracle — identical rules, identical order
    (reserved octets like ``%2F``/``%25`` are never decoded, so
    double-encoded sequences cannot cascade)
 5. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``) and
@@ -20,9 +22,13 @@ oracle SQL in __spark_entry__.py):
    nothing survives
 6. strip one trailing ``/`` unless the path is just ``/``
 
-All Catalyst expressions (regexp + literal replaces + one short array
-filter per doc — doc grain, not token grain, so the interpreted HOF cost
-is irrelevant and the whole canonicalizer is map-only codegen).
+Catalyst expressions throughout (regexp + one short array filter per
+doc — doc grain, not token grain, so the interpreted HOF cost is
+irrelevant), except rule 4's replace chain, which lives in a pandas
+kernel: a ~210-literal Catalyst ``replace`` tree blows the JIT codegen
+sweet spot (15-19 s first-compile, BENCH.md r4) while the same chain is
+C-level ``str.replace`` passes over only the %-carrying rows. The whole
+canonicalizer stays map-only either way.
 """
 
 from __future__ import annotations
@@ -63,15 +69,49 @@ def percent_rules() -> tuple[tuple[str, str], ...]:
     return tuple(rules)
 
 
+@lru_cache(maxsize=1)
+def _percent_normalize_udf():
+    """Arrow-batched kernel for rule 4. The ~210-literal rule list used
+    to be a generated Catalyst ``replace`` chain — map-only and correct,
+    but an expression tree that deep blows the JIT sweet spot (15-19 s
+    first-run codegen, paid per plan compile; see BENCH.md r4). As a
+    pandas kernel the same chain is ~210 C-level ``str.replace`` passes
+    over only the %%-carrying minority of each batch (real crawls: ~1%%
+    of URLs), with zero codegen cost and identical linear map-only
+    scaling.
+
+    Semantics note: this MUST emulate the sequential replace chain (rule
+    1 applied everywhere, then rule 2, ...) — not a left-to-right %XX
+    scanner — because the DuckDB oracle renders the identical chain and
+    the two strategies diverge on adversarial inputs (``%%7%%37``: chain
+    decodes the ``%%37``, then the newly-formed ``%%77``; a scanner
+    stops after one pass). ``str.replace(regex=False)`` per rule is
+    exactly the chain."""
+    from pyspark.sql.functions import pandas_udf
+    rules = percent_rules()  # captured by value in the closure
+
+    @pandas_udf("string")
+    def percent_normalize(s):
+        mask = s.str.contains("%", regex=False).fillna(False)
+        if not mask.any():
+            return s
+        sub = s[mask]
+        for pat, rep in rules:
+            sub = sub.str.replace(pat, rep, regex=False)
+        out = s.copy()
+        out[mask] = sub
+        return out
+
+    return percent_normalize
+
+
 def _percent_normalize(u: Column) -> Column:
-    # the rule chain is identity on %-free strings — gate it behind a
-    # contains check so the ~200 literal replaces run only on the rare
-    # URLs that actually carry encoding (CASE branches evaluate lazily
-    # in codegen; mirrored in the oracle SQL)
-    norm = u
-    for pat, rep in percent_rules():
-        norm = F.replace(norm, F.lit(pat), F.lit(rep))
-    return F.when(u.contains("%"), norm).otherwise(u)
+    # %-free strings (the overwhelming majority of a real crawl) are
+    # passed through by a vectorized mask inside the kernel — the gate
+    # lives worker-side because Catalyst pulls Python UDFs into their
+    # own ArrowEvalPython projection, so a CASE around the call would
+    # not prevent evaluation.
+    return _percent_normalize_udf()(u)
 
 
 def canonical_url_col(col: Column) -> Column:

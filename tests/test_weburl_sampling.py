@@ -43,7 +43,27 @@ CANON_CASES = [
     # duplicate/empty params collapse; lone '&' query -> '?' dropped
     ("https://a.test/p?&&x=a%3b&&", "https://a.test/p?x=a%3B"),
     ("https://a.test/p?&&&", "https://a.test/p"),
+    # mixed-case hex (%aB) is outside the rule list: untouched
+    ("https://a.test/p%aB", "https://a.test/p%aB"),
+    # SEQUENTIAL-chain semantics (what the DuckDB oracle renders): the
+    # %37 decode forms a new %77 which a LATER rule then decodes to 'w'
+    # — a one-pass left-to-right scanner would stop at '%77'. The Arrow
+    # kernel must emulate the chain, and this case pins that.
+    ("https://a.test/%7%37", "https://a.test/w"),
 ]
+
+
+def test_percent_kernel_null_and_plain_passthrough(spark):
+    """The kernel's %-mask path: NULL urls stay NULL, %-free urls are
+    byte-identical (never copied through the replace chain)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "https://plain.test/x?q=1")],
+        "i long, url string")
+    rows = {r["i"]: r["c"] for r in
+            df.select("i", weburl._percent_normalize(F.col("url"))
+                      .alias("c")).collect()}
+    assert rows[1] is None
+    assert rows[2] == "https://plain.test/x?q=1"
 
 
 def test_canonical_url_rules(spark):
