@@ -470,6 +470,47 @@ def q_pipeline_labels(spark, sf_dir):
                            "final_score").orderBy("url")
 
 
+def _lined_pages(spark, sf_dir):
+    """The multi-line documents variant (_lined_docs) mapped to the
+    input_hint page shape — the fixture for the COMPOSED dedup pipeline
+    (line boilerplate + near-dup stages need multi-line text and planted
+    near-dups to have anything to do)."""
+    d = _docs(spark, sf_dir).drop("text")
+    lined = _lined_docs(spark, sf_dir)
+    return d.join(lined, "doc_id").select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double")))
+        .alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"))
+
+
+def q_pipeline_dedup(spark, sf_dir):
+    """The COMPOSED dedup pipeline (round-5 composition slot): ingest ->
+    line-level boilerplate dedup (min_df=50) -> simhash near-dup dedup
+    (banded LSH -> connected components -> min-key survivor) -> scoring
+    over the CLEANED text -> normalization -> keep_percent budget — all
+    as FilterConfig stages of one run_filter call (cfg.line_dedup_min_df
+    + cfg.near_dup_dedup), not hand-chained operators. The DuckDB oracle
+    reproduces every stage end-to-end: same lined fixture arithmetic,
+    same min_df threshold, same md5-60 url keys, same 4x15-bit simhash
+    bands with the hot-bucket cap, transitive closure via a recursive
+    walk, then the pipeline_labels scoring/budget SQL over survivors."""
+    from filtlong_spark.plans.pipeline import run_filter
+    pages = _lined_pages(spark, sf_dir)
+    cfg = FilterConfig(min_length=MIN_LENGTH, keep_percent=90.0,
+                       window_size=WINDOW, mode="intrinsic",
+                       vocab=frozenset(VOCAB),
+                       line_dedup_min_df=50, near_dup_dedup="simhash",
+                       budget_algorithm="approx")
+    res = run_filter(spark, pages, cfg)
+    return res.kept.select("url", "n_chars", "mean_q", "window_q",
+                           "final_score").orderBy("url")
+
+
 PII_NAMED = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("phone", r"(?:\+?\d{1,2}[ -])?(?:\(\d{3}\)|\d{3})[ -]\d{3}[ -]\d{4}"),
@@ -650,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "pipeline_labels": q_pipeline_labels,
+        "pipeline_dedup": q_pipeline_dedup,
         "pii_stats": q_pii_stats,
         "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
@@ -1462,6 +1504,164 @@ rtoks AS (
          CASE WHEN p.tok IN ({VOCAB_SQL}) THEN 1 ELSE 0 END AS ok
   FROM recs r JOIN pos p ON p.doc_id = r.doc_id
        AND p.start_c >= r.cs AND p.end_c <= r.ce
+),
+wsums AS (
+  SELECT url, n_chars, rpos,
+         count(*) OVER (PARTITION BY url) AS nt,
+         sum(ok) OVER (PARTITION BY url) AS total_ok,
+         sum(ok) OVER (PARTITION BY url ORDER BY rpos
+                       ROWS BETWEEN CURRENT ROW AND {WINDOW - 1} FOLLOWING)
+           AS wsum
+  FROM rtoks
+),
+winq AS (
+  SELECT url, max(n_chars) AS n_chars,
+         100.0 * max(total_ok) / max(nt) AS mean_q,
+         CASE WHEN max(nt) <= {WINDOW}
+              THEN 100.0 * max(total_ok) / max(nt)
+              ELSE CASE WHEN (min(wsum) FILTER (WHERE rpos <= nt - {WINDOW} + 1)
+                              / {WINDOW}.0) < 0.5 / {WINDOW}.0
+                        THEN 0.0
+                        ELSE 100.0 * (min(wsum)
+                               FILTER (WHERE rpos <= nt - {WINDOW} + 1)
+                               / {WINDOW}.0)
+                   END
+         END AS window_q
+  FROM wsums GROUP BY url
+),
+normed AS (
+  SELECT url, n_chars, mean_q, window_q,
+         {_RATIO} AS ratio,
+         CASE WHEN max(mean_q) OVER () <= min(mean_q) OVER () THEN 50.0
+              ELSE 100.0 * (mean_q - min(mean_q) OVER ())
+                   / (max(mean_q) OVER () - min(mean_q) OVER ())
+         END AS mean_q_score,
+         100.0 * n_chars / (n_chars + 5000.0) AS length_s
+  FROM winq
+),
+finals AS (
+  SELECT *, sqrt(length_s * mean_q_score)
+              * ((1.0 - 1.0/3.0) + ratio * (1.0/3.0)) AS final_score
+  FROM normed
+),
+cum AS (
+  SELECT f.*, n_chars >= {MIN_LENGTH} AS eligible,
+         coalesce(sum(CASE WHEN n_chars >= {MIN_LENGTH} THEN n_chars END)
+           OVER (ORDER BY final_score DESC, url ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM finals f
+)
+SELECT url, n_chars, mean_q, window_q, final_score
+FROM cum, total
+WHERE eligible AND cum_before < floor(0.9 * total_chars)
+ORDER BY url"""
+
+    # the COMPOSED dedup pipeline (pipeline_dedup): lined fixture ->
+    # line-boilerplate dedup (min_df=50) -> simhash near-dup dedup over
+    # the CLEANED text keyed by md5-60(url) (4x15-bit bands, hot-bucket
+    # cap, hamming <= 3, recursive-walk connected components, min-key
+    # survivor) -> the pipeline_labels scoring/normalize/budget SQL over
+    # survivors. Budget base = RAW (pre-clean) char total, matching
+    # run_filter's Observation placement.
+    _band_w = dedup_op.SIMHASH_BITS // dedup_op.SIMHASH_BANDS
+    sql["pipeline_dedup"] = f"""
+WITH RECURSIVE lined AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || doc_id::VARCHAR
+           AS url,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{LINE_HEADER}' || chr(10) ELSE '' END
+         || array_to_string(list_transform(
+              generate_series(1, ((len(string_split(text, ' ')) - 1)
+                                  // {LINE_WIDTH}) + 1),
+              g -> array_to_string(
+                string_split(text, ' ')[(g-1)*{LINE_WIDTH}+1
+                                        : (g-1)*{LINE_WIDTH}+{LINE_WIDTH}],
+                ' ')), chr(10))
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || '{LINE_FOOTER}' ELSE '' END AS text
+  FROM {DOCS}
+),
+total AS (SELECT sum(len(text)) AS total_chars FROM lined),
+llines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM lined
+),
+lhot AS (
+  SELECT line FROM llines WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 50
+),
+lkept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM llines l LEFT JOIN lhot h USING (line) WHERE h.line IS NULL
+),
+clean0 AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM lkept GROUP BY doc_id
+),
+clean AS (
+  SELECT ld.doc_id, ld.url,
+         ('0x' || substr(md5(ld.url), 1, 15))::BIGINT AS key,
+         coalesce(c.text, '') AS text
+  FROM lined ld LEFT JOIN clean0 c USING (doc_id)
+),
+shtoks AS (SELECT key, unnest({TOKENS_SQL}) AS tok FROM clean),
+shbits AS (
+  SELECT key, b,
+         CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> b) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM shtoks CROSS JOIN (SELECT unnest(generate_series(
+       0, {dedup_op.SIMHASH_BITS - 1})) AS b)
+),
+shvotes AS (SELECT key, b, sum(vote) AS v FROM shbits GROUP BY key, b),
+fp AS (
+  SELECT key,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM shvotes GROUP BY key
+),
+bands0 AS (
+  SELECT key, simhash, b AS band,
+         (simhash >> (b * {_band_w})) & {(1 << _band_w) - 1} AS bkey
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(
+       0, {dedup_op.SIMHASH_BANDS - 1})) AS b)
+),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band, bkey)
+          <= {dedup_op.MAX_BAND_BUCKET}
+),
+cpairs AS (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.key < b.key
+  WHERE bit_count(xor(a.simhash, b.simhash))
+        <= {dedup_op.SIMHASH_MAX_DIST}
+),
+cedges AS (
+  SELECT ka AS src, kb AS dst FROM cpairs
+  UNION
+  SELECT kb, ka FROM cpairs
+),
+walk(node, rep) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.dst, w.rep FROM walk w JOIN cedges e ON e.src = w.node
+),
+comps AS (SELECT node, min(rep) AS rep FROM walk GROUP BY node),
+surv AS (
+  SELECT c.url, c.text, len(c.text)::BIGINT AS n_chars
+  FROM clean c LEFT JOIN comps ON comps.node = c.key
+  WHERE coalesce(comps.rep, c.key) = c.key
+),
+rtoks AS (
+  SELECT url, n_chars,
+         generate_subscripts({TOKENS_SQL}, 1) AS rpos,
+         CASE WHEN unnest({TOKENS_SQL}) IN ({VOCAB_SQL})
+              THEN 1 ELSE 0 END AS ok
+  FROM surv
 ),
 wsums AS (
   SELECT url, n_chars, rpos,

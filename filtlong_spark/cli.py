@@ -129,6 +129,16 @@ def build_web_parser() -> argparse.ArgumentParser:
                    help="language-ID gate: keep only docs predicted LANG")
     p.add_argument("--canonical_url_dedup", action="store_true",
                    help="dedup ingested pages on the canonical url")
+    p.add_argument("--near_dup_dedup", choices=("simhash", "minhash"),
+                   default=None,
+                   help="near-duplicate dedup stage before scoring: "
+                        "banded-LSH pairs -> connected components; "
+                        "non-survivors quarantine with reason "
+                        "near_duplicate_<method>")
+    p.add_argument("--line_dedup_min_df", type=int, default=None,
+                   metavar="N",
+                   help="remove lines occurring in >= N distinct docs "
+                        "(CCNet-style boilerplate dedup) before scoring")
     p.add_argument("--mode", choices=("intrinsic", "refset", "bigram_lm"),
                    default="intrinsic")
     p.add_argument("--ref", default=None,
@@ -164,6 +174,8 @@ def run_web(argv) -> int:
         pii_scrub=a.pii_scrub,
         langid_enabled=a.langid is not None, langid_expected=a.langid,
         canonical_url_dedup=a.canonical_url_dedup,
+        near_dup_dedup=a.near_dup_dedup,
+        line_dedup_min_df=a.line_dedup_min_df,
         mode=a.mode, vocab=frozenset(fx.VOCAB),
         output_ordering=a.output_ordering,
         budget_algorithm="approx")

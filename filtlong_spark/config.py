@@ -106,6 +106,22 @@ class FilterConfig:
     # collapse to a single scored document
     canonical_url_dedup: bool = False
 
+    # NEAR-duplicate dedup stage (None | 'simhash' | 'minhash'): after
+    # ingest (and line-dedup, if on) and BEFORE scoring, banded-LSH
+    # candidate pairs -> connected components -> every non-survivor is
+    # quarantined with reason 'near_duplicate_<method>' and never scored.
+    # 'simhash' = 60-bit fingerprint bands (operators/dedup.simhash_pairs,
+    # hamming <= 3); 'minhash' = 4x2 minhash bands over 3-shingles
+    # (lsh_candidate_pairs). Both are capped banded equi-joins — never
+    # all-pairs.
+    near_dup_dedup: str | None = None
+
+    # LINE-level boilerplate dedup (CCNet/RefinedWeb grain): lines
+    # occurring in >= this many distinct documents are removed from every
+    # document before scoring (operators/dedup.line_dedup); the cleaned
+    # text is also what survivors emit. None = off; must be >= 2.
+    line_dedup_min_df: int | None = None
+
     # bigram_lm distributed path: bigram/unigram entries with corpus count
     # below this are pruned from the model tables before the quality join
     # (bounds the broadcast side at web scale; 1 = exact/no pruning)
@@ -131,7 +147,8 @@ class FilterConfig:
             self.min_length, self.max_length, self.min_mean_q,
             self.min_window_q, self.target_chars, self.keep_percent,
         )) or self.trim or self.split is not None or self.pii_scrub \
-            or self.langid_enabled
+            or self.langid_enabled or self.near_dup_dedup is not None \
+            or self.line_dedup_min_df is not None
         if not any_threshold:
             raise ConfigError(
                 "Error: no thresholds set, you must use at least one of the "
@@ -175,4 +192,12 @@ class FilterConfig:
             raise ConfigError("Error: the value for lm_min_count must be a positive integer")
         if self.lm_strategy not in ("auto", "distributed", "broadcast"):
             raise ConfigError(f"Error: unknown lm_strategy {self.lm_strategy!r}")
+        if self.near_dup_dedup not in (None, "simhash", "minhash"):
+            raise ConfigError(
+                f"Error: unknown near_dup_dedup {self.near_dup_dedup!r} "
+                "(choose 'simhash' or 'minhash')")
+        if self.line_dedup_min_df is not None and self.line_dedup_min_df < 2:
+            raise ConfigError(
+                "Error: the value for line_dedup_min_df must be at least 2 "
+                "(1 would remove every non-blank line)")
         return self

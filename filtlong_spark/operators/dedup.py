@@ -18,7 +18,7 @@ engines, no float ambiguity except cosine, which is rounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 NORM_EXPR = "replace(text, ' dup', '')"  # testdata near-dup normalizer
 
@@ -272,6 +272,57 @@ def dedup_assign(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .select("doc_id",
                     F.coalesce("rep", F.col("doc_id")).alias("rep_id"))
             .withColumn("is_dup", F.col("rep_id") != F.col("doc_id")))
+
+
+# --- pipeline composition (FilterConfig.near_dup_dedup /
+# --- line_dedup_min_df): the bridges from url-keyed PAGES to the
+# --- doc_id-keyed dedup operators above ------------------------------------
+
+def url_doc_key(col: Column | str = "url") -> Column:
+    """int64 dedup key for a url-keyed page: the md5-60 prefix (the
+    repo's one shared hash kernel, md5_60_of_distinct — mirrored in
+    DuckDB as ('0x' || substr(md5(url), 1, 15))::BIGINT). 60-bit
+    collisions (expected ~n^2/2^61 pairs, ~10^5 at 10^12 docs) can only
+    cause a FALSE near-dup drop of one page — acceptable for a dedup
+    verdict, unlike a scoring-identity key (see lm.py's loud-failure
+    stance for that case)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15),
+                  16, 10).cast("long")
+
+
+def near_dup_url_labels(pages: DataFrame, method: str) -> DataFrame:
+    """(url, is_dup) for every page: banded near-dup candidate pairs
+    ('simhash' | 'minhash') -> connected components -> within each
+    component the min-key page survives, the rest are duplicates. The
+    scale shape is the underlying operators' (capped banded equi-joins +
+    min-label propagation); this adds only a doc-grain key projection
+    and the verdict join back to urls."""
+    docs = pages.select("url", url_doc_key("url").alias("doc_id"), "text")
+    if method == "simhash":
+        pairs = simhash_pairs(docs)
+    elif method == "minhash":
+        pairs = lsh_candidate_pairs(docs, shingle_n=3)
+    else:
+        raise ValueError(f"Error: unknown near_dup_dedup {method!r}")
+    assign = dedup_assign(docs, pairs)
+    return (docs.select("url", "doc_id").join(assign, "doc_id")
+            .select("url", "is_dup"))
+
+
+def line_clean_pages(pages: DataFrame, min_df: int,
+                     text_col: str = "text") -> DataFrame:
+    """Replace each page's text with its line-dedup-cleaned text (see
+    line_dedup), preserving every other column. One extra doc-grain
+    equi-join on url to reattach the cleaned text — the cleaned side
+    carries text only, so at scale AQE plans it as a plain shuffled
+    hash join keyed on the url (both sides corpus-sized, no broadcast
+    expectation)."""
+    docs = pages.select(F.col("url").alias("doc_id"), F.col(text_col))
+    cleaned = line_dedup(docs, min_df, text_col=text_col)
+    return (pages.drop(text_col)
+            .join(cleaned.withColumnRenamed("doc_id", "url")
+                  .withColumnRenamed("text_clean", text_col), "url"))
 
 
 LINE_DEDUP_MIN_DF = 50

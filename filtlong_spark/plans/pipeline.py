@@ -58,7 +58,7 @@ class PipelineResult:
 # per-doc metrics, hard_passed, or the child set). Budget/weight fields are
 # applied AFTER the snapshot, so changing them on resume is legal.
 _SNAPSHOT_FIELDS = (
-    "canonical_url_dedup",
+    "canonical_url_dedup", "near_dup_dedup", "line_dedup_min_df",
     "window_size", "trim", "split", "pii_scrub", "mode", "vocab",
     "required_copies", "lm_threshold", "lm_min_count",
     "langid_enabled", "langid_expected",
@@ -122,6 +122,18 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         pages, canonical_url_dedup=cfg.canonical_url_dedup)
     quarantine = ing.quarantine
 
+    def _line_clean(pages_df):
+        """Line-level boilerplate dedup stage (cfg.line_dedup_min_df):
+        runs on the SAME lineage in the scoring pass and the output
+        text-reattach pass — deterministic, so both see identical
+        cleaned text (the byte-identity contract holds for the cleaned
+        corpus, which is what this stage defines as the corpus)."""
+        if cfg.line_dedup_min_df is None:
+            return pages_df
+        from ..operators import dedup as dedup_op
+        return dedup_op.line_clean_pages(pages_df, cfg.line_dedup_min_df)
+
+    near_dup_dropped = None
     resumed = resume and output_op.is_committed(os.path.join(scratch, "reads2"))
     if resumed:
         output_op.verify_snapshot_chain(scratch)
@@ -129,6 +141,11 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         _check_resume_config(cfg, lineage.get("config") or {})
         reads2 = spark.read.parquet(os.path.join(scratch, "reads2"))
         total_input_chars = lineage.get("total_input_chars", 0)
+        near_dup_dropped = lineage.get("near_dup_dropped")
+        # survivors reattach the line-CLEANED text; the near-dup drop
+        # set needs no recompute (dropped docs were never scored, so the
+        # inner label join below cannot resurrect them)
+        src_pages = _line_clean(ing.valid)
     else:
         # raw input char total (src/main.cpp:89) — observed on the scoring
         # job instead of a separate input traversal
@@ -144,6 +161,28 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         par = spark.sparkContext.defaultParallelism
         if ing.valid.rdd.getNumPartitions() < par:
             valid = valid.repartition(par)
+
+        # dedup stages (north_rule pipeline composition; both observe-
+        # downstream, so total_input_chars stays the RAW pre-dedup
+        # figure the budget is measured against — the reference's
+        # target-vs-raw-input semantics, src/main.cpp:89,228-237):
+        # 1. line-level boilerplate removal rewrites text
+        valid = _line_clean(valid)
+        # 2. near-dup dedup quarantines whole documents before scoring
+        if cfg.near_dup_dedup is not None:
+            from ..operators import dedup as dedup_op
+            nd = dedup_op.near_dup_url_labels(valid, cfg.near_dup_dedup)
+            # the verdict table is url+bool — tiny next to the corpus —
+            # and is consumed twice (quarantine + anti-join): pin it so
+            # the banded-LSH pass runs once
+            dup_urls = (nd.filter(F.col("is_dup")).select("url")
+                        .localCheckpoint(eager=False))
+            near_dup_dropped = dup_urls.count()
+            quarantine = quarantine.unionByName(
+                ing.valid.join(dup_urls, "url").withColumn(
+                    "reason",
+                    F.lit(f"near_duplicate_{cfg.near_dup_dedup}")))
+            valid = valid.join(dup_urls, "url", "left_anti")
 
         lm_strategy, lm_tables = None, None
         if cfg.mode == "bigram_lm":
@@ -177,6 +216,10 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                 # failed) — either way the cached count tables must not
                 # stay pinned in executor storage
                 lm_tables.release()
+        # survivors reattach text from the post-dedup cleaned lineage
+        # (identical plan to what was scored; the observation re-fires
+        # harmlessly on the output job)
+        src_pages = valid
         try:
             total_input_chars = obs.get["total_chars"] or 0
         except Exception:
@@ -221,6 +264,9 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         "passed_chars_pre_budget": int(stats["passed_chars"] or 0),
         "target": target,
         "resumed": resumed,
+        # near-dup quarantine lineage counter (None when the stage is
+        # off; on resume, read back from the committed lineage)
+        "near_dup_dropped": near_dup_dropped,
         "config": {k: (list(v) if isinstance(v, frozenset) else v)
                    for k, v in cfg.__dict__.items()},
     }
@@ -242,7 +288,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
     # broadcast join and the text column never shuffles; child text is a
     # substring of the parent (byte-identical requirement)
     labels = labeled.filter(F.col("passed"))
-    src = ing.valid.select(F.col("url").alias("parent_url"),
+    src = src_pages.select(F.col("url").alias("parent_url"),
                            "warc_ts", "lang", "text")
     kept = (labels.join(src, "parent_url")
             .withColumn(
