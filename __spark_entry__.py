@@ -926,11 +926,29 @@ SELECT * FROM parents UNION ALL SELECT * FROM children ORDER BY child_id"""
                         for t in sorted(prof[lang]))
         lang_cases.append(
             f"sum(CASE WHEN tg IN ({tgs}) THEN 1 ELSE 0 END) AS s_{lang}")
+    # script-exclusive short-circuit, mirroring core.flat_predict_lang_texts:
+    # unicode(tg) = the codepoint of each trigram's FIRST char — the same
+    # [0, n-2) char stream the kernel counts via key >> 42
+    lang_cases += [
+        "sum(CASE WHEN unicode(tg) BETWEEN 44032 AND 55215 "
+        "THEN 1 ELSE 0 END) AS s_hangul",
+        "sum(CASE WHEN unicode(tg) BETWEEN 12352 AND 12543 "
+        "THEN 1 ELSE 0 END) AS s_kana",
+        "sum(CASE WHEN unicode(tg) BETWEEN 19968 AND 40959 "
+        "THEN 1 ELSE 0 END) AS s_han",
+        "count(*) AS n_tg",
+    ]
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
-    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
-        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    pred = ("CASE WHEN s_hangul > 0 THEN 'ko' "
+            "WHEN s_kana > 0 THEN 'ja' "
+            "WHEN s_han > 0 THEN 'zh' "
+            "WHEN " + best + " = 0 THEN 'und' " + " ".join(
+                f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END")
     total = " + ".join(f"s_{l}" for l in langs)
-    coalesced = ", ".join(f"coalesce(s_{l}, 0) AS s_{l}" for l in langs)
+    coalesced = ", ".join(
+        f"coalesce(s_{l}, 0) AS s_{l}"
+        for l in langs + ["hangul", "kana", "han"]) \
+        + ", coalesce(n_tg, 0) AS n_tg"
     sql["langid"] = f"""
 WITH lt AS (SELECT doc_id, lower(text) AS lt FROM {DOCS}),
 pos AS (
@@ -945,7 +963,10 @@ s AS (
   FROM {DOCS} d LEFT JOIN s0 USING (doc_id)
 )
 SELECT doc_id, {pred} AS lang_pred,
-       CASE WHEN ({total}) > 0
+       CASE WHEN s_hangul > 0 THEN s_hangul::DOUBLE / greatest(n_tg, 1)
+            WHEN s_kana > 0 THEN s_kana::DOUBLE / greatest(n_tg, 1)
+            WHEN s_han > 0 THEN s_han::DOUBLE / greatest(n_tg, 1)
+            WHEN ({total}) > 0
             THEN {best}::DOUBLE / ({total}) ELSE 0.0 END AS lang_conf
 FROM s ORDER BY doc_id"""
 

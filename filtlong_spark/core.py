@@ -360,7 +360,18 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
     char-trigram occurrences fall in each language profile (sorted-array
     membership — one searchsorted per language), argmax with alphabetical
     tiebreak, 'und' when nothing matches. Mirrors the Catalyst/SQL
-    implementations exactly (integer counts -> identical ratios)."""
+    implementations exactly (integer counts -> identical ratios).
+
+    Script short-circuit (what every production langid does for
+    script-exclusive languages): any Hangul -> ko, else any kana -> ja,
+    else any Han -> zh — BEFORE the trigram argmax. Han/kana trigrams
+    barely repeat across topics (a held-out Chinese text can share zero
+    trigrams with a multi-KB profile), but the SCRIPT identifies the
+    language unambiguously; kana-priority routes kanji+kana Japanese
+    correctly. Script counts reuse the packed trigram keys (first
+    codepoint = key >> 42, i.e. chars at positions [0, n-2)) so the SQL
+    oracle mirrors them with unicode(tg) on the same trigram stream;
+    routed docs report conf = script_chars / trigram_positions."""
     global _TRIGRAM_TABLES
     if _TRIGRAM_TABLES is None:
         _TRIGRAM_TABLES = _trigram_tables()
@@ -368,6 +379,9 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
     L = len(langs)
     nd = len(texts)
     per_lang = np.zeros((L, nd), dtype=np.int64)
+    n_hangul = np.zeros(nd, dtype=np.int64)
+    n_kana = np.zeros(nd, dtype=np.int64)
+    n_han = np.zeros(nd, dtype=np.int64)
     # one flat key array + ONE searchsorted per language for the whole
     # batch (segment counts via bincount) — not per-doc calls
     keys_per_doc = [_text_trigram_keys(t or "") for t in texts]
@@ -382,6 +396,12 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
             idx[idx == kl.size] = 0
             hit = kl[idx] == flat
             per_lang[li] = np.bincount(doc_of[hit], minlength=nd)
+        cp = flat >> 42                      # first codepoint per trigram
+        for arr, lo, hi in ((n_hangul, 0xAC00, 0xD7AF),
+                            (n_kana, 0x3040, 0x30FF),
+                            (n_han, 0x4E00, 0x9FFF)):
+            m = (cp >= lo) & (cp <= hi)
+            arr[:] = np.bincount(doc_of[m], minlength=nd)
     total = per_lang.sum(axis=0)
     best = per_lang.argmax(axis=0)
     pred = np.array(langs, dtype=object)[best]
@@ -389,6 +409,16 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
     conf = np.where(total > 0,
                     per_lang[best, np.arange(nd)] / np.maximum(total, 1),
                     0.0)
+    # script-exclusive routing (priority: hangul > kana > han)
+    routed = (n_hangul > 0) | (n_kana > 0) | (n_han > 0)
+    if routed.any():
+        script_pred = np.where(
+            n_hangul > 0, "ko", np.where(n_kana > 0, "ja", "zh"))
+        script_n = np.where(
+            n_hangul > 0, n_hangul, np.where(n_kana > 0, n_kana, n_han))
+        pred[routed] = script_pred[routed]
+        conf[routed] = (script_n[routed]
+                        / np.maximum(sizes[routed], 1))
     return pred, conf
 
 
@@ -545,70 +575,267 @@ LANG_SAMPLES = {
            "on the quiet street where people read their books and talk "
            "about the weather with their friends because the day is long "
            "and the work is done and everything in the town feels calm "
-           "and simple"),
+           "and simple "
+           "in the early morning the market opens and people buy fresh "
+           "bread and fruit before work the city wakes slowly and the "
+           "trains carry workers along the river past the bridge and the "
+           "tall glass buildings where meetings begin with coffee and "
+           "quiet conversation about plans for the coming year "
+           "the computer stores the data in small files and the program "
+           "reads each line and counts the words before writing the "
+           "result to a new table so that anyone can search the records "
+           "and find what they need without waiting "
+           "when the rain falls in autumn the leaves turn red and gold "
+           "and families drive to the mountains to walk among the trees "
+           "and take pictures of the valley below while the cold wind "
+           "blows from the north and the first snow settles on the "
+           "highest peaks "
+           "she opened the old wooden door and found a room full of "
+           "books some of them older than the house itself and she spent "
+           "the whole afternoon reading stories about ships and distant "
+           "islands until the sun went down behind the hills"),
     "de": ("der schnelle braune fuchs springt ueber den faulen hund und "
            "dann gehen die kleinen kinder zu der alten schule waehrend das "
            "morgenlicht auf die stille strasse faellt wo die leute ihre "
            "buecher lesen und mit ihren freunden ueber das wetter sprechen "
            "weil der tag lang ist und die arbeit getan ist und alles in "
-           "der stadt ruhig und einfach wirkt"),
+           "der stadt ruhig und einfach wirkt "
+           "am frühen morgen öffnet der markt und die menschen kaufen "
+           "frisches brot und obst vor der arbeit die stadt erwacht "
+           "langsam und die züge bringen die arbeiter über die brücke zu "
+           "den hohen gebäuden aus glas wo die besprechungen mit kaffee "
+           "und einem ruhigen gespräch über die pläne für das kommende "
+           "jahr beginnen "
+           "der computer speichert die daten in kleinen dateien und das "
+           "programm liest jede zeile und zaehlt die woerter bevor es "
+           "das ergebnis in eine neue tabelle schreibt damit jeder die "
+           "eintraege durchsuchen und finden kann was er braucht "
+           "wenn der regen im herbst faellt werden die blaetter rot und "
+           "gold und die familien fahren in die berge um zwischen den "
+           "baeumen zu wandern waehrend der kalte wind aus dem norden "
+           "weht und der erste schnee auf den hoechsten gipfeln liegt "
+           "sie oeffnete die alte tuer aus holz und fand ein zimmer "
+           "voller buecher einige davon aelter als das haus selbst und "
+           "sie verbrachte den ganzen nachmittag damit geschichten ueber "
+           "schiffe und ferne inseln zu lesen bis die sonne hinter den "
+           "huegeln unterging"),
     "es": ("el rapido zorro marron salta sobre el perro perezoso y luego "
            "los ninos pequenos caminan hacia la vieja escuela mientras la "
            "luz de la manana cae sobre la calle tranquila donde la gente "
            "lee sus libros y habla del tiempo con sus amigos porque el dia "
            "es largo y el trabajo esta hecho y todo en el pueblo se siente "
-           "calmado y sencillo"),
+           "calmado y sencillo "
+           "por la mañana temprano abre el mercado y la gente compra pan "
+           "fresco y fruta antes del trabajo la ciudad despierta "
+           "despacio y los trenes llevan a los trabajadores junto al rio "
+           "por el puente hacia los altos edificios de cristal donde las "
+           "reuniones empiezan con cafe y una charla tranquila sobre los "
+           "planes para el proximo año "
+           "el ordenador guarda los datos en archivos pequeños y el "
+           "programa lee cada linea y cuenta las palabras antes de "
+           "escribir el resultado en una tabla nueva para que cualquiera "
+           "pueda buscar los registros y encontrar lo que necesita "
+           "cuando llueve en otoño las hojas se vuelven rojas y doradas "
+           "y las familias van a la montaña a caminar entre los arboles "
+           "mientras el viento frio sopla del norte y la primera nieve "
+           "cae sobre las cumbres mas altas "
+           "ella abrio la vieja puerta de madera y encontro una "
+           "habitacion llena de libros algunos mas antiguos que la "
+           "propia casa y paso toda la tarde leyendo historias de barcos "
+           "e islas lejanas hasta que el sol se puso detras de las "
+           "colinas"),
     "fr": ("le rapide renard brun saute par dessus le chien paresseux et "
            "puis les petits enfants marchent vers la vieille ecole pendant "
            "que la lumiere du matin tombe sur la rue calme ou les gens "
            "lisent leurs livres et parlent du temps avec leurs amis parce "
            "que la journee est longue et le travail est fait et tout dans "
-           "la ville semble calme et simple"),
+           "la ville semble calme et simple "
+           "tot le matin le marche ouvre et les gens achetent du pain "
+           "frais et des fruits avant le travail la ville se reveille "
+           "lentement et les trains emmenent les ouvriers le long du "
+           "fleuve par le pont vers les grands immeubles de verre ou les "
+           "reunions commencent avec du cafe et une conversation calme "
+           "sur les projets de la nouvelle annee "
+           "l ordinateur garde les donnees dans de petits fichiers et le "
+           "programme lit chaque ligne et compte les mots avant d ecrire "
+           "le resultat dans une nouvelle table pour que chacun puisse "
+           "chercher les dossiers et trouver ce qu il lui faut "
+           "quand la pluie tombe en automne les feuilles deviennent "
+           "rouges et dorees et les familles vont a la montagne marcher "
+           "parmi les arbres pendant que le vent froid souffle du nord "
+           "et que la premiere neige couvre les plus hauts sommets "
+           "elle ouvrit la vieille porte en bois et trouva une piece "
+           "pleine de livres certains plus anciens que la maison elle "
+           "meme et elle passa tout l apres midi a lire des histoires de "
+           "bateaux et d iles lointaines jusqu a ce que le soleil se "
+           "couche derriere les collines"),
     "it": ("la rapida volpe marrone salta sopra il cane pigro e poi i "
            "piccoli bambini camminano verso la vecchia scuola mentre la "
            "luce del mattino cade sulla strada tranquilla dove la gente "
            "legge i suoi libri e parla del tempo con i suoi amici perche "
            "la giornata e lunga e il lavoro e finito e tutto nel paese "
-           "sembra calmo e semplice"),
+           "sembra calmo e semplice "
+           "la mattina presto apre il mercato e la gente compra pane "
+           "fresco e frutta prima del lavoro la citta si sveglia "
+           "lentamente e i treni portano i lavoratori lungo il fiume "
+           "oltre il ponte verso gli alti palazzi di vetro dove le "
+           "riunioni cominciano con il caffe e una conversazione "
+           "tranquilla sui piani per il prossimo anno "
+           "il computer conserva i dati in piccoli file e il programma "
+           "legge ogni riga e conta le parole prima di scrivere il "
+           "risultato in una nuova tabella cosi che chiunque possa "
+           "cercare i documenti e trovare quello che gli serve "
+           "quando la pioggia cade in autunno le foglie diventano rosse "
+           "e dorate e le famiglie vanno in montagna a camminare tra gli "
+           "alberi mentre il vento freddo soffia da nord e la prima neve "
+           "copre le cime piu alte "
+           "lei apri la vecchia porta di legno e trovo una stanza piena "
+           "di libri alcuni piu antichi della casa stessa e passo tutto "
+           "il pomeriggio a leggere storie di navi e isole lontane "
+           "finche il sole non tramonto dietro le colline"),
     "pt": ("a rapida raposa marrom salta sobre o cao preguicoso e depois "
            "as criancas pequenas caminham para a velha escola enquanto a "
            "luz da manha cai sobre a rua tranquila onde as pessoas leem "
            "os seus livros e falam do tempo com os seus amigos porque o "
            "dia e longo e o trabalho esta feito e tudo na cidade parece "
-           "calmo e simples"),
+           "calmo e simples "
+           "de manha cedo o mercado abre e as pessoas compram pao fresco "
+           "e fruta antes do trabalho a cidade acorda devagar e os "
+           "comboios levam os trabalhadores ao longo do rio pela ponte "
+           "ate aos altos edificios de vidro onde as reunioes comecam "
+           "com cafe e uma conversa tranquila sobre os planos para o "
+           "proximo ano "
+           "o computador guarda os dados em ficheiros pequenos e o "
+           "programa le cada linha e conta as palavras antes de escrever "
+           "o resultado numa tabela nova para que qualquer pessoa possa "
+           "procurar os registos e encontrar aquilo de que precisa "
+           "quando a chuva cai no outono as folhas ficam vermelhas e "
+           "douradas e as familias vao a montanha caminhar entre as "
+           "arvores enquanto o vento frio sopra do norte e a primeira "
+           "neve cobre os picos mais altos "
+           "ela abriu a velha porta de madeira e encontrou um quarto "
+           "cheio de livros alguns mais antigos do que a propria casa e "
+           "passou a tarde inteira a ler historias de navios e ilhas "
+           "distantes ate o sol se por atras das colinas"),
     "ru": ("быстрая коричневая лиса прыгает через ленивую собаку а потом "
            "маленькие дети идут в старую школу пока утренний свет падает "
            "на тихую улицу где люди читают свои книги и говорят о погоде "
            "со своими друзьями потому что день длинный и работа сделана "
-           "и все в городе кажется спокойным и простым"),
+           "и все в городе кажется спокойным и простым "
+           "рано утром открывается рынок и люди покупают свежий хлеб и "
+           "фрукты перед работой город просыпается медленно и поезда "
+           "везут рабочих вдоль реки через мост к высоким стеклянным "
+           "зданиям где совещания начинаются с кофе и тихого разговора "
+           "о планах на будущий год "
+           "компьютер хранит данные в маленьких файлах и программа "
+           "читает каждую строку и считает слова прежде чем записать "
+           "результат в новую таблицу чтобы каждый мог искать записи и "
+           "находить то что ему нужно "
+           "когда осенью идет дождь листья становятся красными и "
+           "золотыми и семьи едут в горы гулять среди деревьев пока "
+           "холодный ветер дует с севера и первый снег ложится на самые "
+           "высокие вершины "
+           "она открыла старую деревянную дверь и нашла комнату полную "
+           "книг некоторые из них были старше самого дома и она провела "
+           "весь вечер читая истории о кораблях и далеких островах пока "
+           "солнце не село за холмы"),
     "zh": ("敏捷的棕色狐狸跳过了懒惰的狗然后小孩子们走向古老的学校清晨的"
            "阳光落在安静的街道上人们在那里读着他们的书并和朋友们谈论天气"
            "因为白天很长而工作已经完成小镇上的一切都显得平静而简单春天的"
            "风吹过田野河水慢慢流向远方老人坐在门前看着孩子们玩耍市场里的"
            "人们买菜做饭晚上的灯光照亮了每一扇窗户大家安静地休息等待新的"
-           "一天开始明天的早晨还会有同样的阳光和同样的街道"),
+           "一天开始明天的早晨还会有同样的阳光和同样的街道"
+           "清晨市场开门人们在上班前买新鲜的面包和水果城市慢慢醒来火车沿"
+           "着河流载着工人们穿过大桥驶向高高的玻璃大楼会议在咖啡和关于来"
+           "年计划的安静谈话中开始"
+           "计算机把数据保存在小文件里程序读取每一行并在把结果写入新表之"
+           "前数出单词的数量这样任何人都可以搜索记录并找到自己需要的东西"
+           "秋天下雨的时候树叶变成红色和金色家人们开车去山里在树林间散步"
+           "拍摄下面山谷的照片寒冷的北风吹来第一场雪落在最高的山峰上"
+           "她打开了那扇旧木门发现一个装满书的房间其中一些书比房子本身还"
+           "要古老她花了整个下午阅读关于船只和遥远岛屿的故事直到太阳落到"
+           "山丘后面"),
     "ar": ("الثعلب البني السريع يقفز فوق الكلب الكسول ثم يمشي الاطفال "
            "الصغار الى المدرسة القديمة بينما يسقط ضوء الصباح على الشارع "
            "الهادئ حيث يقرا الناس كتبهم ويتحدثون عن الطقس مع اصدقائهم "
            "لان النهار طويل والعمل قد انجز وكل شيء في المدينة يبدو "
-           "هادئا وبسيطا"),
+           "هادئا وبسيطا "
+           "في الصباح الباكر يفتح السوق ويشتري الناس الخبز الطازج "
+           "والفاكهة قبل العمل تستيقظ المدينة ببطء وتحمل القطارات "
+           "العمال على طول النهر عبر الجسر الى المباني الزجاجية "
+           "العالية حيث تبدأ الاجتماعات بالقهوة وحديث هادئ عن خطط "
+           "السنة القادمة "
+           "يحفظ الحاسوب البيانات في ملفات صغيرة ويقرأ البرنامج كل "
+           "سطر ويعد الكلمات قبل ان يكتب النتيجة في جدول جديد حتى "
+           "يستطيع اي شخص البحث في السجلات وايجاد ما يحتاج اليه "
+           "عندما يسقط المطر في الخريف تتحول الاوراق الى اللون الاحمر "
+           "والذهبي وتذهب العائلات الى الجبال للمشي بين الاشجار بينما "
+           "تهب الرياح الباردة من الشمال ويستقر الثلج الاول على اعلى "
+           "القمم "
+           "فتحت الباب الخشبي القديم فوجدت غرفة مليئة بالكتب بعضها "
+           "اقدم من البيت نفسه وقضت المساء كله تقرأ قصصا عن السفن "
+           "والجزر البعيدة حتى غربت الشمس خلف التلال"),
     "ja": ("すばやい茶色のきつねはなまけものの犬をとびこえてそれから小さな"
            "子どもたちは古い学校へあるいていきます朝のひかりはしずかな通り"
            "におちて人びとはそこで本をよみ友だちと天気についてはなします"
            "一日はながくしごとはおわり町のすべてはおだやかでかんたんに"
            "みえます春のかぜが野をわたり川の水はゆっくりとながれて老人は"
-           "門のまえにすわって子どもたちのあそぶのをみています"),
+           "門のまえにすわって子どもたちのあそぶのをみています"
+           "朝はやく市場がひらき人びとはしごとの前にあたらしいパンとくだ"
+           "ものを買います町はゆっくりと目をさまし電車は川にそって橋をわ"
+           "たり高いガラスの建物へはたらく人をはこびますそこでは会議がコ"
+           "ーヒーと来年の計画についてのしずかな話ではじまります"
+           "コンピュータはデータを小さなファイルにほぞんしプログラムは一"
+           "行ずつよんで単語をかぞえ結果をあたらしい表に書きますそうすれ"
+           "ばだれでも記録をさがして必要なものを見つけることができます"
+           "秋に雨がふると木の葉は赤と金色にかわり家族は山へ行って木のあ"
+           "いだをあるき谷の写真をとりますつめたい北風がふき一番高い峰に"
+           "はじめての雪がつもります"
+           "彼女は古い木のとびらをあけると本でいっぱいのへやを見つけまし"
+           "たその中には家よりも古い本もあり彼女は船と遠い島の物語を日が"
+           "しずむまで読みつづけました"),
     "ko": ("빠른 갈색 여우가 게으른 개를 뛰어넘고 그 다음 어린 아이들은 "
            "오래된 학교로 걸어갑니다 아침 햇살이 조용한 거리에 내리고 "
            "사람들은 그곳에서 책을 읽으며 친구들과 날씨에 대해 이야기합니다 "
            "하루는 길고 일은 끝났으며 마을의 모든 것이 평온하고 단순해 "
-           "보입니다 봄바람이 들판을 지나고 강물은 천천히 흘러갑니다"),
+           "보입니다 봄바람이 들판을 지나고 강물은 천천히 흘러갑니다 "
+           "이른 아침 시장이 열리고 사람들은 일하러 가기 전에 신선한 "
+           "빵과 과일을 삽니다 도시는 천천히 깨어나고 기차는 강을 따라 "
+           "다리를 건너 높은 유리 건물로 일하는 사람들을 실어 나릅니다 "
+           "그곳에서 회의는 커피와 내년 계획에 대한 조용한 대화로 "
+           "시작됩니다 "
+           "컴퓨터는 데이터를 작은 파일에 저장하고 프로그램은 각 줄을 "
+           "읽고 단어를 센 다음 결과를 새 표에 씁니다 그래서 누구나 "
+           "기록을 검색하고 필요한 것을 찾을 수 있습니다 "
+           "가을에 비가 내리면 나뭇잎은 빨갛고 금빛으로 변하고 "
+           "가족들은 산으로 가서 나무 사이를 걷고 아래 계곡의 사진을 "
+           "찍습니다 차가운 북풍이 불고 가장 높은 봉우리에 첫눈이 "
+           "쌓입니다 "
+           "그녀는 낡은 나무 문을 열고 책으로 가득한 방을 발견했습니다 "
+           "그중 일부는 집보다 오래된 것이었고 그녀는 해가 언덕 뒤로 질 "
+           "때까지 배와 먼 섬 이야기를 읽으며 오후를 보냈습니다"),
     "hi": ("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूदती है और फिर छोटे "
            "बच्चे पुराने स्कूल की ओर चलते हैं जबकि सुबह की रोशनी शांत "
            "गली पर गिरती है जहाँ लोग अपनी किताबें पढ़ते हैं और अपने "
            "दोस्तों के साथ मौसम के बारे में बात करते हैं क्योंकि दिन लंबा "
            "है और काम पूरा हो गया है और कस्बे में सब कुछ शांत और सरल "
-           "लगता है"),
+           "लगता है "
+           "सुबह जल्दी बाजार खुलता है और लोग काम से पहले ताजा रोटी और "
+           "फल खरीदते हैं शहर धीरे धीरे जागता है और रेलगाड़ियाँ नदी के "
+           "किनारे पुल के पार ऊँची काँच की इमारतों तक मजदूरों को ले "
+           "जाती हैं जहाँ बैठकें कॉफी और अगले साल की योजनाओं पर शांत "
+           "बातचीत के साथ शुरू होती हैं "
+           "कंप्यूटर आँकड़ों को छोटी फाइलों में रखता है और प्रोग्राम हर "
+           "पंक्ति पढ़ता है और शब्द गिनता है फिर नतीजा एक नई तालिका में "
+           "लिखता है ताकि कोई भी अभिलेख खोज सके और जो चाहिए वह पा सके "
+           "जब पतझड़ में बारिश होती है तो पत्ते लाल और सुनहरे हो जाते "
+           "हैं और परिवार पहाड़ों पर जाकर पेड़ों के बीच घूमते हैं जबकि "
+           "ठंडी हवा उत्तर से चलती है और पहली बर्फ सबसे ऊँची चोटियों पर "
+           "गिरती है "
+           "उसने पुराना लकड़ी का दरवाजा खोला और किताबों से भरा एक कमरा "
+           "पाया उनमें से कुछ किताबें घर से भी पुरानी थीं और उसने सूरज "
+           "के पहाड़ियों के पीछे डूबने तक जहाजों और दूर के द्वीपों की "
+           "कहानियाँ पढ़ीं"),
 }
 
 TRIGRAM_TOP_K = 200
