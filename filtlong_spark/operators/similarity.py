@@ -103,13 +103,64 @@ def cosine_pairs(emb: DataFrame, probe_max_id: int,
 
 
 def cosine_topk(emb: DataFrame, probe_max_id: int, k: int) -> DataFrame:
-    """Top-k neighbors per probe by (cos desc, vec_id asc). Window per
-    probe — fine because the probe set is small; rank on the ROUNDED cosine
-    for cross-engine determinism."""
+    """Top-k neighbors per probe by (rounded cos desc, vec_id asc).
+
+    Physical shape: PARTIAL top-k inside the corpus mapper — each Arrow
+    batch keeps, per probe, only the rows whose raw cosine reaches the
+    batch's k-th best minus a 2e-6 margin (rounding is monotone, and two
+    doubles that ROUND equal at 6dp differ by < 1.5e-6 raw, so every
+    candidate that could win under the final rounded comparator
+    survives the cut). The final per-probe row_number window then ranks
+    ~k rows per probe PER BATCH instead of the whole probes-x-corpus
+    pair set — the exact path stays usable at large probe counts, and
+    the emitted (probe_id, vec_id, cos, rank) rows are bit-identical to
+    the unpruned window (same F.round, same ordering)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
-    pairs = cosine_pairs(emb, probe_max_id, threshold=-1.0)
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    spark = emb.sparkSession
+    probes = (emb.filter(F.col("vec_id") <= probe_max_id)
+              .select("vec_id", "embedding").collect())
+    if not probes:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, cos double, rank int")
+    pids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+    P = np.array([r["embedding"] for r in probes], dtype=np.float64)
+    pnorm = _safe_norms(P)
+    bc = spark.sparkContext.broadcast((pids, P, pnorm))
+    margin = 2e-6
+
+    def mapper(batches):
+        b_pids, b_p, b_pnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = (E @ b_p.T) / (_safe_norms(E)[:, None] * b_pnorm[None, :])
+            vids = pdf["vec_id"].to_numpy()
+            valid = b_pids[None, :] < vids[:, None]   # probe_id < vec_id
+            masked = np.where(valid, sims, -np.inf)
+            if masked.shape[0] > k:
+                # k-th best raw cosine per probe column
+                thr = -np.partition(-masked, k - 1, axis=0)[k - 1]
+                keep = valid & (masked >= thr[None, :] - margin)
+            else:
+                keep = valid
+            r, c = np.nonzero(keep)
+            if len(r):
+                yield pd.DataFrame({"probe_id": b_pids[c],
+                                    "vec_id": vids[r],
+                                    "cos": sims[r, c]})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        mapper, schema="probe_id long, vec_id long, cos double")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("cos", F.round("cos", 6))
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("probe_id", "vec_id", "cos", "rank"))
 
