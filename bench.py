@@ -169,14 +169,15 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         spark, _tables.documents_as_pages(spark, sf_dir))
 
     per_query = {}
+    query_runs = {}
     for name in BENCH_QUERIES:
-        best = None
+        runs = []
         for _ in range(2):  # min of 2: the sandbox CPU is noisy
             t0 = time.time()
             force(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        per_query[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        per_query[name] = min(runs)
+        query_runs[name] = runs
 
     total = (head["pipeline_sec"] + lm_head["pipeline_sec"]
              + sum(per_query.values()))
@@ -187,6 +188,12 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "queries": {"pipeline": round(head["pipeline_sec"], 3),
                     "pipeline_lm": round(lm_head["pipeline_sec"], 3),
                     **per_query},
+        # per-run times for EVERY query (not just the big legs) so a
+        # steal-noise outlier is distinguishable from a regression
+        # without re-running (the reported value is min of these)
+        "query_runs": {"pipeline": head.get("runs", []),
+                       "pipeline_lm": lm_head.get("runs", []),
+                       **query_runs},
         "sf": _sf_from_dir(sf_dir),
         "docs": head["n_docs"],
         "kept": head["kept"],
