@@ -6,9 +6,11 @@ What's REAL here (no media library needed):
   (filters 0-4), 8-bit depth, gray/RGB(+alpha)
 - full GIF pixel decode: LZW bitstream (variable code width, clear/EOI,
   KwKwK case), global/local palettes, interlace passes — first frame
-- baseline JPEG pixel decode (operators/jpeg.py): marker walk, huffman
-  entropy decode, dequantize + IDCT, chroma upsampling, YCbCr->RGB —
-  verified against real libjpeg-produced files
+- baseline AND progressive JPEG pixel decode (operators/jpeg.py):
+  marker walk, huffman entropy decode, spectral-selection +
+  successive-approximation scan accumulation for SOF2, dequantize +
+  IDCT, chroma upsampling, YCbCr->RGB — verified against real
+  libjpeg-produced files (both variants)
 - so ``real=True`` image features are computed from ACTUAL pixels for
   PNG, GIF and baseline JPEG media
 - all Spark-side plumbing: schemas, Arrow batch shapes, mapInPandas
@@ -19,13 +21,14 @@ What's REAL here (no media library needed):
   on the delay timeline, re-encoded as PNG for the downstream image
   stages — the honest multi-frame/"video" path this environment admits
 
-Still faked (deterministic, clearly marked): progressive-JPEG decode
-(raises -> per-record quarantine) and true video containers (mp4/webm)
-— this container has no PIL/pyav. Production swap-in: replace the
-fallbacks in ``decode_image_features`` / ``frame_sample`` with
-PIL/pyav calls inside the same mapInPandas mappers — the dataflow
-(binary in, fixed-size feature array / frame rows out, map-only, no
-shuffle) does not change.
+Still faked (deterministic, clearly marked): arithmetic-coded JPEG
+(raises -> per-record quarantine) and true video codec decode
+(H.264/VP9 inside mp4/webm) — this container has no PIL/pyav.
+Production swap-in: replace the fallbacks in
+``decode_image_features`` / ``frame_sample`` with PIL/pyav calls
+inside the same mapInPandas mappers — the dataflow (binary in,
+fixed-size feature array / frame rows out, map-only, no shuffle)
+does not change.
 """
 
 from __future__ import annotations
@@ -544,10 +547,22 @@ def sniff_bytes(data: bytes) -> tuple[str | None, int | None, int | None]:
     - PNG: IHDR width/height, big-endian u32 at offsets 16/20
     - GIF87a/89a: logical screen size, little-endian u16 at 6/8
     - JPEG: walk the marker stream to the first SOF0-SOF15 frame header
+    - MP4/ISO-BMFF: ftyp magic; dims from the video track's sample
+      entry when the box walk succeeds (best-effort — a worker without
+      the mp4 module still reports the mime)
     Unknown containers -> (None, None, None)."""
     import struct
     if not data:
         return None, None, None
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        try:
+            from filtlong_spark.operators import mp4 as _mp4
+            trk = _mp4.parse_video_track(data)
+            if trk is not None and trk.width and trk.height:
+                return "video/mp4", trk.width, trk.height
+        except Exception:
+            pass
+        return "video/mp4", None, None
     if data[:8] == PNG_MAGIC and len(data) >= 24 and data[12:16] == b"IHDR":
         w, h = struct.unpack(">II", data[16:24])
         return "image/png", w, h
@@ -609,17 +624,23 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
     """Frame sampling: emits (doc_id, frame_idx, frame binary) rows —
     one-to-many mapInPandas, map-only, no shuffle.
 
-    ``real=True``: animated GIFs (the one multi-frame container
-    decodable without a media library) decode for REAL — frames are
-    composited on the canvas, sampled along the GCE-delay timeline
-    (first frame of each ``every_ms`` bucket), and re-encoded as PNG
-    bytes so every downstream image stage (decode_image_features,
-    media_near_dups) consumes them unchanged. Other containers (mp4 et
-    al — pyav is the production swap-in inside this same mapper) keep
-    the deterministic byte-slice fake; a corrupt GIF quarantines to the
-    fake rather than failing the stage."""
+    ``real=True``: the multi-frame containers decodable without a media
+    library decode for REAL —
+    - animated GIFs: frames composited on the canvas, sampled along the
+      GCE-delay timeline (first frame of each ``every_ms`` bucket);
+    - MJPEG-in-MP4: the ISO BMFF sample tables (operators/mp4.py)
+      locate the per-frame JPEG samples, sampled along the stts
+      duration timeline and pixel-decoded by operators/jpeg.py;
+    both re-encode sampled frames as PNG bytes so every downstream
+    image stage (decode_image_features, media_near_dups) consumes them
+    unchanged. Compressed-codec video (H.264/VP9 — pyav is the
+    production swap-in inside this same mapper) keeps the
+    deterministic byte-slice fake; a corrupt container quarantines to
+    the fake rather than failing the stage."""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
+    from . import jpeg as jpeg_mod
+    from . import mp4 as mp4_mod
 
     def fake_frames(doc_id, m, meta):
         n_frames = max(1, (meta["duration_ms"] or 0) // every_ms) \
@@ -644,6 +665,22 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
             t += d if d > 0 else 100
         return out
 
+    def mp4_frames(doc_id, data):
+        # raises for compressed codecs / broken boxes -> caller falls
+        # back; sampling mirrors the GIF timeline (first frame of each
+        # every_ms bucket, zero durations clamped like zero GCE delays)
+        samples = mp4_mod.mjpeg_frames(data)
+        out = []
+        t = 0
+        next_sample = 0
+        for sample, dur in samples:
+            if t >= next_sample:
+                px = jpeg_mod.jpeg_decode_pixels(sample)
+                out.append((doc_id, len(out), png_encode(px)))
+                next_sample = (t // every_ms + 1) * every_ms
+            t += dur if dur > 0 else 100
+        return out
+
     def mapper(batches):
         for pdf in batches:
             rows = []
@@ -656,6 +693,12 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                         continue
                     except Exception:
                         pass  # corrupt animation -> deterministic fake
+                if real and len(data) >= 12 and data[4:8] == b"ftyp":
+                    try:
+                        rows.extend(mp4_frames(doc_id, data))
+                        continue
+                    except Exception:
+                        pass  # compressed codec / corrupt -> fake
                 rows.extend(fake_frames(doc_id, m, meta))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
                                               "frame"])

@@ -247,6 +247,82 @@ def test_frame_sample_zero_delay_gif_advances_timeline(spark):
         assert (px == pal_a[src]).all()
 
 
+def _mjpeg_mp4(n_frames=3, dur_ms=500, w=24, h=16, shift=0):
+    """MJPEG-in-MP4 fixture: n distinct near-lossless JPEG frames."""
+    import numpy as np
+    from filtlong_spark.operators import jpeg, mp4
+    frames = []
+    for i in range(n_frames):
+        px = np.full((h, w, 3), 40 + 60 * ((i + shift) % 4),
+                     dtype=np.uint8)
+        px[4:h - 4, 6:w - 6, (i + shift) % 3] = 250
+        frames.append(px)
+    jpegs = [jpeg.jpeg_encode(f) for f in frames]
+    return mp4.mp4_encode_mjpeg(jpegs, [dur_ms] * n_frames, w, h), \
+        frames, jpegs
+
+
+def test_frame_sample_real_mjpeg_mp4(spark):
+    """frame_sample(real=True): an MJPEG-in-MP4's samples are located
+    via the ISO BMFF sample tables, decoded by the JPEG codec, sampled
+    on the stts duration timeline, and emitted as PNG bytes the
+    downstream image path consumes unchanged."""
+    from filtlong_spark.operators import jpeg
+    data, frames, jpegs = _mjpeg_mp4(n_frames=3, dur_ms=500)
+    media = spark.createDataFrame(
+        [(1, "video", data,
+          {"mime": "video/mp4", "width": 24, "height": 16,
+           "duration_ms": 1500})],
+        mm.MEDIA_SCHEMA)
+    rows = sorted(mm.frame_sample(media, every_ms=1000, real=True)
+                  .collect(), key=lambda r: r["frame_idx"])
+    # durations 500ms -> t=0 (sample 0) and t=1000 (sample 2)
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    for r, src_jpeg in zip(rows, (jpegs[0], jpegs[2])):
+        px = mm.png_decode_pixels(bytes(r["frame"]))
+        assert (px == jpeg.jpeg_decode_pixels(src_jpeg)).all()
+
+
+def test_mp4_compressed_codec_quarantines(spark):
+    """An avc1 (H.264) track is identified but NOT decoded — the
+    record falls back to the deterministic byte-slice fake instead of
+    failing the stage."""
+    data, _, _ = _mjpeg_mp4()
+    avc = data.replace(b"jpeg", b"avc1")  # fourcc lives in stsd only
+    meta = {"mime": "video/mp4", "width": 24, "height": 16,
+            "duration_ms": 1500}
+    media = spark.createDataFrame(
+        [(1, "video", avc, meta)], mm.MEDIA_SCHEMA)
+    rows = mm.frame_sample(media, every_ms=1000, real=True).collect()
+    fake = mm.frame_sample(media, every_ms=1000, real=False).collect()
+    assert sorted((r["frame_idx"], bytes(r["frame"])) for r in rows) \
+        == sorted((r["frame_idx"], bytes(r["frame"])) for r in fake)
+
+
+def test_mp4_sniff_and_near_dup_pipeline(spark):
+    """End-to-end: two MJPEG MP4s sharing one identical frame ->
+    frame_sample -> decode_image_features(real=True) -> the banded LSH
+    near-dup join finds the cross-video duplicate frame."""
+    from pyspark.sql import functions as F
+    data_a, _, _ = _mjpeg_mp4(n_frames=2, dur_ms=1000, shift=0)
+    data_b, _, _ = _mjpeg_mp4(n_frames=2, dur_ms=1000, shift=1)
+    assert mm.sniff_bytes(data_a) == ("video/mp4", 24, 16)
+    media = spark.createDataFrame(
+        [(1, "video", data_a, None), (2, "video", data_b, None)],
+        mm.MEDIA_SCHEMA)
+    frames = mm.frame_sample(media, every_ms=1000, real=True)
+    # every sampled frame becomes a standalone image document
+    frame_media = frames.select(
+        (F.col("doc_id") * 10 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("media"))
+    pairs = {(r["probe_id"], r["vec_id"])
+             for r in mm.media_near_dups(frame_media, threshold=0.999,
+                                         real=True).collect()}
+    # video 1 samples frames (0,1); video 2 frames (1,2) of the same
+    # cycle -> doc 11 (video 1, frame 1) == doc 20 (video 2, frame 0)
+    assert (11, 20) in pairs
+
+
 # CPython's own 16x16 test JPEG (Lib/test/imghdrdata/python.jpg) — a
 # real libjpeg-produced baseline file (standard quant + huffman tables,
 # subsampled chroma): the decoder must handle files we did not write.
@@ -310,14 +386,20 @@ class TestJpegCodec:
         assert px.shape == (16, 16, 3)
         assert px.std() > 0  # actual image content, not a flat fill
 
-    def test_rejects_progressive_and_corrupt(self):
+    def test_rejects_arithmetic_and_corrupt(self):
         import base64
 
         import pytest as _pytest
         from filtlong_spark.operators import jpeg
         data = bytearray(base64.b64decode(REAL_JPEG_B64))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xC2  # rewrite the frame marker to progressive
+        # a baseline file whose frame marker is rewritten to SOF2 has a
+        # baseline-shaped SOS (Ss=0, Se=63) — an invalid progressive
+        # scan script the decoder must reject, not misdecode
+        data[sof + 1] = 0xC2
+        with _pytest.raises(ValueError):
+            jpeg.jpeg_decode_pixels(bytes(data))
+        data[sof + 1] = 0xCA  # SOF10: arithmetic coding — unsupported
         with _pytest.raises(ValueError):
             jpeg.jpeg_decode_pixels(bytes(data))
         with _pytest.raises(ValueError):
@@ -327,9 +409,111 @@ class TestJpegCodec:
             jpeg.jpeg_decode_pixels(good[: len(good) // 2])
 
 
+# a real libjpeg-produced PROGRESSIVE file shipped with the Rust
+# toolchain docs in this environment (720x477 photo, 10-scan script:
+# interleaved DC first, spectral-band AC firsts, DC refine, AC
+# refines — with cross-block EOB runs throughout)
+REAL_PROGRESSIVE_PATHS = [
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+    "doc/rust/html/embedded-book/assets/f3.jpg",
+    "/root/.rustup/toolchains/nightly-x86_64-unknown-linux-gnu/share/"
+    "doc/rust/html/embedded-book/assets/f3.jpg",
+]
+
+
+class TestJpegProgressive:
+    def _px(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        yy, xx = np.mgrid[0:24, 0:33]
+        px = np.zeros((24, 33, 3), dtype=np.uint8)
+        px[..., 0] = (yy * 7 + xx * 3) % 256
+        px[..., 1] = ((yy // 8) * 60 + (xx // 8) * 20) % 256
+        px[..., 2] = rng.integers(0, 256, (24, 33))
+        return px
+
+    QT = [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60,
+          55, 14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87,
+          80, 62, 18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81,
+          104, 113, 92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95,
+          98, 112, 100, 103, 99]
+
+    def test_roundtrip_bit_identical_to_baseline(self):
+        """The successive-approximation split is lossless, so a
+        progressive encode of the same quantized coefficients must
+        decode to pixels BIT-identical to the baseline encode — across
+        subsampling modes and quant tables (the real table exercises
+        newly-significant refinement coefficients and cross-block EOB
+        runs; all-ones exercises dense high-magnitude bands)."""
+        import numpy as np
+        from filtlong_spark.operators import jpeg
+        px = self._px()
+        qt = np.asarray(self.QT)
+        for sub in [(1, 1), (2, 2), (2, 1)]:
+            for tabs in [None, (qt, qt)]:
+                base = jpeg.jpeg_decode_pixels(
+                    jpeg.jpeg_encode(px, quality_tables=tabs,
+                                     subsample=sub))
+                prog = jpeg.jpeg_decode_pixels(
+                    jpeg.jpeg_encode_progressive(px, quality_tables=tabs,
+                                                 subsample=sub))
+                assert (base == prog).all(), (sub, tabs is not None)
+
+    def test_eob_runs_span_blocks(self):
+        """Brutal quantization makes most AC bands all-zero -> the
+        encoder emits multi-block EOBn runs and the decoder's
+        eobrun-skip path must reproduce baseline exactly."""
+        import numpy as np
+        from filtlong_spark.operators import jpeg
+        flatq = np.full(64, 200)
+        px = self._px()
+        base = jpeg.jpeg_decode_pixels(
+            jpeg.jpeg_encode(px, quality_tables=(flatq, flatq),
+                             subsample=(2, 2)))
+        data = jpeg.jpeg_encode_progressive(
+            px, quality_tables=(flatq, flatq), subsample=(2, 2))
+        assert (base == jpeg.jpeg_decode_pixels(data)).all()
+        # the stream really contains an EOBn (r>0) symbol: every band
+        # of a flat-ish block quantized by 200 is zero, so runs >= 2
+        # must arise across the 12 luma blocks
+        flat = np.full((48, 64, 3), 130, dtype=np.uint8)
+        d2 = jpeg.jpeg_encode_progressive(
+            flat, quality_tables=(flatq, flatq), subsample=(2, 2))
+        assert (jpeg.jpeg_decode_pixels(d2)
+                == jpeg.jpeg_decode_pixels(
+                    jpeg.jpeg_encode(flat, quality_tables=(flatq, flatq),
+                                     subsample=(2, 2)))).all()
+
+    def test_decodes_real_libjpeg_progressive_file(self):
+        """A 10-scan progressive photo produced by libjpeg (spectral
+        selection + successive approximation + cross-block EOB runs) —
+        not by our encoder. Any desync in the scan decoders surfaces as
+        an invalid-Huffman ValueError within a few symbols; a clean
+        full decode with photographic statistics is the pass."""
+        import os
+
+        import numpy as np
+        import pytest as _pytest
+        path = next((p for p in REAL_PROGRESSIVE_PATHS
+                     if os.path.exists(p)), None)
+        if path is None:
+            _pytest.skip("no real progressive JPEG available on disk")
+        from filtlong_spark.operators import jpeg, multimodal as m2
+        data = open(path, "rb").read()
+        assert m2.sniff_bytes(data) == ("image/jpeg", 720, 477)
+        px = jpeg.jpeg_decode_pixels(data)
+        assert px.shape == (477, 720, 3)
+        assert float(px.std()) > 30.0  # photographic content
+        # every 8x8 tile has SOME structure (no dropped/blank MCU rows
+        # — the classic symptom of a mis-advanced scan)
+        tiles = px[: 472, : 720, :].reshape(59, 8, 90, 8, 3)
+        tile_std = tiles.std(axis=(1, 3, 4))
+        assert (tile_std > 0).all()
+
+
 def test_real_decode_from_jpeg_pixels(spark):
-    """real=True featurizes baseline JPEG media from DECODED pixels;
-    progressive/corrupt JPEGs quarantine to the fake."""
+    """real=True featurizes JPEG media (baseline and progressive) from
+    DECODED pixels; corrupt JPEGs quarantine to the fake."""
     import base64
     from filtlong_spark.operators import jpeg
     data = base64.b64decode(REAL_JPEG_B64)
