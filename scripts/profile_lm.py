@@ -14,19 +14,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    from pyspark.sql import SparkSession
+    import bench
 
+    # the bench session config IS part of what we profile (Arrow batch
+    # 500, fixed small heap, big code cache — see bench.build_session);
+    # a separately-tuned session here measured a different engine
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = (SparkSession.builder.master(f"local[{cpus}]")
-             .config("spark.sql.shuffle.partitions", str(cpus))
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "48g")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
-             .getOrCreate())
+    spark = bench.build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    import bench
     from filtlong_spark.operators import lm as lm_op
     from filtlong_spark.plans.pipeline import run_filter
 
@@ -45,7 +41,7 @@ def main():
         from pyspark.sql import functions as F
         keyed = pages.select(F.xxhash64("url").alias("doc_key"),
                              "url", "text")
-        tok_rows = keyed.mapInPandas(lm_op.make_token_mapper(cfg),
+        tok_rows = keyed.mapInArrow(lm_op.make_token_mapper(cfg),
                                      schema=lm_op.TOK_SCHEMA)
         n_tok = tok_rows.count()
         t["stage1_tokenize"] = time.time() - t0
