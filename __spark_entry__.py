@@ -949,8 +949,13 @@ SELECT * FROM parents UNION ALL SELECT * FROM children ORDER BY child_id"""
         f"coalesce(s_{l}, 0) AS s_{l}"
         for l in langs + ["hangul", "kana", "han"]) \
         + ", coalesce(n_tg, 0) AS n_tg"
+    # LID reads only the first core.LID_SAMPLE_CHARS chars (the bounded
+    # production-LID sample) — substr BEFORE lower, exactly like the
+    # kernel slices the raw text before lowercasing
     sql["langid"] = f"""
-WITH lt AS (SELECT doc_id, lower(text) AS lt FROM {DOCS}),
+WITH lt AS (SELECT doc_id,
+                   lower(substr(text, 1, {_core.LID_SAMPLE_CHARS})) AS lt
+            FROM {DOCS}),
 pos AS (
   SELECT doc_id, lt,
          unnest(generate_series(1, greatest(length(lt) - 2, 0))) AS i

@@ -323,6 +323,15 @@ def flat_window_ratio(mean: np.ndarray, win: np.ndarray) -> np.ndarray:
 
 _TRIGRAM_TABLES = None
 
+# Language-ID reads at most this many leading chars per document — what
+# every production LID does (CLD2/fastText classify a bounded sample):
+# ~1000 chars is ~998 trigram draws, statistically far past the point
+# where the argmax stabilizes, while an unbounded scan made LID scale
+# with document LENGTH and dominate the whole scoring stage (measured
+# 1.27 ms/doc on 3 kB web docs — more than tokenize+score combined).
+# The DuckDB oracle mirrors the same cap (substr(text, 1, N)).
+LID_SAMPLE_CHARS = 1000
+
 
 def _trigram_key(tg: str) -> int:
     """Pack a 3-char trigram into one int64: 21 bits per codepoint —
@@ -332,17 +341,29 @@ def _trigram_key(tg: str) -> int:
 
 
 def _trigram_tables():
-    """(langs, per-lang sorted int64 key arrays) from the trained
-    profiles — lazy (profiles are defined further down this module)."""
+    """(langs, union_keys, mask): ALL language profiles merged into ONE
+    sorted int64 key array plus a per-key uint16 membership bitmask
+    (bit li set when the key is in langs[li]'s profile) — lazy (profiles
+    are defined further down this module). One merged table means the
+    hot path runs ONE searchsorted over the trigram stream instead of
+    one per language; the per-language counts come from 12 cheap
+    weighted bincounts over the hits. Membership semantics are
+    identical to the per-language arrays (the mask is exactly per-lang
+    membership), so predictions don't move."""
     prof = trigram_profiles()
     langs = sorted(prof)
+    assert len(langs) <= 16, "mask dtype needs widening past 16 langs"
     keys = []
     for lang in langs:
         arr = np.array([_trigram_key(t) for t in prof[lang]],
                        dtype=np.int64)
         arr.sort()
         keys.append(arr)
-    return langs, keys
+    union = np.unique(np.concatenate(keys))
+    mask = np.zeros(union.size, dtype=np.uint16)
+    for li, kl in enumerate(keys):
+        mask[np.searchsorted(union, kl)] |= np.uint16(1 << li)
+    return langs, union, mask
 
 
 def _text_trigram_keys(text: str) -> np.ndarray:
@@ -371,31 +392,41 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
     correctly. Script counts reuse the packed trigram keys (first
     codepoint = key >> 42, i.e. chars at positions [0, n-2)) so the SQL
     oracle mirrors them with unicode(tg) on the same trigram stream;
-    routed docs report conf = script_chars / trigram_positions."""
+    routed docs report conf = script_chars / trigram_positions.
+
+    Reads only the first LID_SAMPLE_CHARS chars of each doc (the
+    production-LID bounded sample — see the constant's comment); the
+    profile probe is ONE searchsorted over the merged union table, with
+    per-language counts recovered from the membership bitmask."""
     global _TRIGRAM_TABLES
     if _TRIGRAM_TABLES is None:
         _TRIGRAM_TABLES = _trigram_tables()
-    langs, keys = _TRIGRAM_TABLES
+    langs, union, mask = _TRIGRAM_TABLES
     L = len(langs)
     nd = len(texts)
     per_lang = np.zeros((L, nd), dtype=np.int64)
     n_hangul = np.zeros(nd, dtype=np.int64)
     n_kana = np.zeros(nd, dtype=np.int64)
     n_han = np.zeros(nd, dtype=np.int64)
-    # one flat key array + ONE searchsorted per language for the whole
-    # batch (segment counts via bincount) — not per-doc calls
-    keys_per_doc = [_text_trigram_keys(t or "") for t in texts]
+    # one flat key array + ONE searchsorted over the union table for the
+    # whole batch (per-lang counts via weighted bincount) — not per-doc,
+    # not per-language
+    keys_per_doc = [_text_trigram_keys((t or "")[:LID_SAMPLE_CHARS])
+                    for t in texts]
     sizes = np.fromiter((k.size for k in keys_per_doc),
                         dtype=np.int64, count=nd)
     if sizes.sum():
         flat = np.concatenate(keys_per_doc)
         doc_of = np.repeat(np.arange(nd), sizes)
+        idx = np.searchsorted(union, flat)
+        idx[idx == union.size] = 0
+        hit = union[idx] == flat
+        dhit = doc_of[hit]
+        mhit = mask[idx[hit]]
         for li in range(L):
-            kl = keys[li]
-            idx = np.searchsorted(kl, flat)
-            idx[idx == kl.size] = 0
-            hit = kl[idx] == flat
-            per_lang[li] = np.bincount(doc_of[hit], minlength=nd)
+            w = ((mhit >> li) & 1).astype(np.int64)
+            per_lang[li] = np.bincount(dhit, weights=w,
+                                       minlength=nd).astype(np.int64)
         cp = flat >> 42                      # first codepoint per trigram
         for arr, lo, hi in ((n_hangul, 0xAC00, 0xD7AF),
                             (n_kana, 0x3040, 0x30FF),
