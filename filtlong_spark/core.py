@@ -581,6 +581,95 @@ def child_name(url: str, start: int, end: int) -> str:
     return f"{url}_{start + 1}-{end}"
 
 
+def flat_batch_scrub(doc_of: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray, q: np.ndarray, nlen: np.ndarray,
+                     gated: np.ndarray, trim: bool,
+                     split: int | None,
+                     pii_by_doc: dict[int, list[tuple[int, int]]]
+                     ) -> tuple[np.ndarray, list[tuple[int, int, int]]]:
+    """Vectorized scrub candidate detection + per-doc finalize, over FLAT
+    token-grain arrays (doc_of/starts/ends/q sorted by doc then token
+    order; nlen = per-doc char length; pii_by_doc = precomputed PII
+    spans). Bad RUNS are found over the whole batch at once (boundary
+    masks on the flat quality array); trim edges via first/last-good
+    gathers; only docs with an actual selected range run any per-doc
+    Python, and that step is just range assembly + finalize_scrub —
+    semantics identical to scrub_spans (property-tested). Shared by the
+    intrinsic fused scorer (functions/scoring, which derives nlen/PII
+    from the batch texts) and the distributed-LM reassembly
+    (operators/lm, which gets them from sentinel rows — the text itself
+    never reaches that stage). Returns (scrubbed mask, child rows as
+    (doc_idx, start, end))."""
+    nd = nlen.size
+    nt = q.size
+    bad = q <= 0.0
+
+    run_doc = np.zeros(0, dtype=np.int64)
+    run_s = run_e = run_doc
+    if split is not None and nt:
+        same = np.zeros(nt, dtype=bool)
+        same[1:] = doc_of[1:] == doc_of[:-1]   # same doc as previous token
+        pb = np.zeros(nt, dtype=bool)
+        pb[1:] = bad[:-1]
+        nb = np.zeros(nt, dtype=bool)
+        nb[:-1] = bad[1:]
+        samen = np.zeros(nt, dtype=bool)
+        samen[:-1] = same[1:]                  # same doc as next token
+        rs = np.nonzero(bad & ~(same & pb))[0]   # run starts
+        re_ = np.nonzero(bad & ~(samen & nb))[0]  # run ends (paired)
+        span = ends[re_] - starts[rs]
+        sel = span >= split
+        run_doc = doc_of[rs[sel]]
+        run_s = starts[rs[sel]]
+        run_e = ends[re_[sel]]
+
+    trim_docs = np.zeros(nd, dtype=bool)
+    first_good = last_good = None
+    if trim and nt:
+        good_idx = np.nonzero(~bad)[0]
+        gdoc = doc_of[good_idx]  # sorted (token order is doc order)
+        all_d = np.arange(nd)
+        lo = np.searchsorted(gdoc, all_d, side="left")
+        hi = np.searchsorted(gdoc, all_d, side="right")
+        has_good = hi > lo
+        first_good = np.full(nd, -1, dtype=np.int64)
+        last_good = np.full(nd, -1, dtype=np.int64)
+        first_good[has_good] = starts[good_idx[lo[has_good]]]
+        last_good[has_good] = ends[good_idx[hi[has_good] - 1]]
+        trim_docs[has_good] = ((first_good[has_good] > 0)
+                               | (last_good[has_good] < nlen[has_good]))
+
+    cand = np.zeros(nd, dtype=bool)
+    if run_doc.size:
+        cand[run_doc] = True
+    cand |= trim_docs
+    for d in pii_by_doc:
+        cand[d] = True
+    cand &= ~gated
+
+    scrubbed = np.zeros(nd, dtype=bool)
+    child_rows: list[tuple[int, int, int]] = []
+    for d in np.nonzero(cand)[0]:
+        n = int(nlen[d])
+        bad_ranges = list(pii_by_doc.get(d, ()))
+        if run_doc.size:
+            lo = np.searchsorted(run_doc, d, side="left")
+            hi = np.searchsorted(run_doc, d, side="right")
+            bad_ranges.extend((int(run_s[k]), int(run_e[k]))
+                              for k in range(lo, hi))
+        if trim and first_good is not None and first_good[d] >= 0:
+            fg, lg = int(first_good[d]), int(last_good[d])
+            if fg > 0:
+                bad_ranges.append((0, fg))
+            if n > lg:
+                bad_ranges.append((lg, n))
+        res = finalize_scrub(bad_ranges, n)
+        if res.changed:
+            scrubbed[d] = True
+            child_rows.extend((int(d), s, e) for s, e in res.child_spans)
+    return scrubbed, child_rows
+
+
 # ---------------------------------------------------------------------------
 # Language-ID gate (A2 analog: FASTA/FASTQ format detection + the
 # FASTA-without-reference error, src/main.cpp:92-106).

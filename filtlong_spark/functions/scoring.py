@@ -132,57 +132,16 @@ READS2_SCHEMA = ("url string, parent_url string, "
 
 
 def _batch_scrub(tb, q, texts, gated, trim, split, pii):
-    """Vectorized scrub candidate detection + per-doc finalize.
-
-    Bad RUNS are found over the whole batch at once (boundary masks on the
-    flat quality array); trim edges via first/last-good-token gathers; PII
-    via cheap necessary-condition scans (core.pii_possible) before the
-    exact per-pattern pass. Only docs with an actual selected range run
-    any per-doc Python, and that per-doc step is just range assembly +
-    core.finalize_scrub — semantics identical to core.scrub_spans
-    (property-tested)."""
+    """Vectorized scrub candidate detection + per-doc finalize: derives
+    doc lengths and PII spans (cheap necessary-condition scans via
+    core.pii_possible before the exact per-pattern pass) from the batch
+    texts, then delegates to the shared flat kernel
+    core.flat_batch_scrub — the same kernel the distributed-LM
+    reassembly runs on sentinel-derived inputs, so the two scrub paths
+    can never diverge."""
     import numpy as np
     nd = len(texts)
-    doc_of, starts, ends = tb.doc_of, tb.starts, tb.ends
-    nt = q.size
-    bad = q <= 0.0
-
-    run_doc = np.zeros(0, dtype=np.int64)
-    run_s = run_e = run_doc
-    if split is not None and nt:
-        same = np.zeros(nt, dtype=bool)
-        same[1:] = doc_of[1:] == doc_of[:-1]   # same doc as previous token
-        pb = np.zeros(nt, dtype=bool)
-        pb[1:] = bad[:-1]
-        nb = np.zeros(nt, dtype=bool)
-        nb[:-1] = bad[1:]
-        samen = np.zeros(nt, dtype=bool)
-        samen[:-1] = same[1:]                  # same doc as next token
-        rs = np.nonzero(bad & ~(same & pb))[0]   # run starts
-        re_ = np.nonzero(bad & ~(samen & nb))[0]  # run ends (paired)
-        span = ends[re_] - starts[rs]
-        sel = span >= split
-        run_doc = doc_of[rs[sel]]
-        run_s = starts[rs[sel]]
-        run_e = ends[re_[sel]]
-
-    trim_docs = np.zeros(nd, dtype=bool)
-    first_good = last_good = None
-    if trim and nt:
-        good_idx = np.nonzero(~bad)[0]
-        gdoc = doc_of[good_idx]  # sorted (token order is doc order)
-        all_d = np.arange(nd)
-        lo = np.searchsorted(gdoc, all_d, side="left")
-        hi = np.searchsorted(gdoc, all_d, side="right")
-        has_good = hi > lo
-        first_good = np.full(nd, -1, dtype=np.int64)
-        last_good = np.full(nd, -1, dtype=np.int64)
-        first_good[has_good] = starts[good_idx[lo[has_good]]]
-        last_good[has_good] = ends[good_idx[hi[has_good] - 1]]
-        nlen = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nd)
-        trim_docs[has_good] = ((first_good[has_good] > 0)
-                               | (last_good[has_good] < nlen[has_good]))
-
+    nlen = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nd)
     pii_by_doc = {}
     if pii:
         for d, t in enumerate(texts):
@@ -190,36 +149,8 @@ def _batch_scrub(tb, q, texts, gated, trim, split, pii):
                 sp = core.pii_spans(t)
                 if sp:
                     pii_by_doc[d] = sp
-
-    cand = np.zeros(nd, dtype=bool)
-    if run_doc.size:
-        cand[run_doc] = True
-    cand |= trim_docs
-    for d in pii_by_doc:
-        cand[d] = True
-    cand &= ~gated
-
-    scrubbed = np.zeros(nd, dtype=bool)
-    child_rows = []
-    for d in np.nonzero(cand)[0]:
-        n = len(texts[d])
-        bad_ranges = list(pii_by_doc.get(d, ()))
-        if run_doc.size:
-            lo = np.searchsorted(run_doc, d, side="left")
-            hi = np.searchsorted(run_doc, d, side="right")
-            bad_ranges.extend((int(run_s[k]), int(run_e[k]))
-                              for k in range(lo, hi))
-        if trim and first_good is not None and first_good[d] >= 0:
-            fg, lg = int(first_good[d]), int(last_good[d])
-            if fg > 0:
-                bad_ranges.append((0, fg))
-            if n > lg:
-                bad_ranges.append((lg, n))
-        res = core.finalize_scrub(bad_ranges, n)
-        if res.changed:
-            scrubbed[d] = True
-            child_rows.extend((int(d), s, e) for s, e in res.child_spans)
-    return scrubbed, child_rows
+    return core.flat_batch_scrub(tb.doc_of, tb.starts, tb.ends, q, nlen,
+                                 gated, trim, split, pii_by_doc)
 
 
 def make_reads2_mapper(accepted_bc, cfg: FilterConfig):

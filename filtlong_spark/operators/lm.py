@@ -393,67 +393,108 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
         import numpy as np
         import pandas as pd
         for pdf in batches:
-            rows = []
-            starts_it = pdf["start"] if scrub else pdf["pos"]
-            ends_it = pdf["end"] if scrub else pdf["pos"]
-            for (url, n_chars, lang_pred, lang_ok, pos, start, end,
-                 flags) in zip(
-                    pdf["url"], pdf["n_chars"], pdf["lang_pred"],
-                    pdf["lang_ok"], pdf["pos"], starts_it, ends_it,
-                    pdf["flags"]):
-                n = int(n_chars)
-                if not lang_ok:
-                    rows.append((url, url, n, 0, 0.0, 0.0, 1.0, 0, n,
-                                 False, lang_pred, False))
-                    continue
-                pos = np.asarray(pos, dtype=np.int64)
-                fl = np.asarray(flags, dtype=np.int8)
-                # exactly one pos=-1 metadata sentinel per document; two
-                # means an xxhash64(url) doc_key collision merged two
-                # docs — refuse to emit silently-corrupt rows
-                if int((pos == -1).sum()) != 1:
-                    raise RuntimeError(
-                        "doc_key collision: %d sentinel rows under one "
-                        "key (url=%r) — two documents hashed to the same "
-                        "xxhash64(url); add a second hash column to the "
-                        "doc_key grouping" % (int((pos == -1).sum()), url))
-                tok_m = pos >= 0
-                q = (fl[tok_m] & 1).astype(np.float64)
-                mq = core.mean_quality(q)
-                wq = core.window_quality(q, window_size)
-                if scrub:
-                    start = np.asarray(start, dtype=np.int64)
-                    end = np.asarray(end, dtype=np.int64)
-                    starts, ends = start[tok_m], end[tok_m]
-                    pii_m = pos == -2
-                    pii_sp = (list(zip(start[pii_m].tolist(),
-                                       end[pii_m].tolist()))
-                              if pii_m.any() else None)
-                    spans_q = list(zip(starts.tolist(), ends.tolist(),
-                                       q.tolist()))
-                    res = core.finalize_scrub(
-                        core.compute_bad_ranges(spans_q, trim, split, n,
-                                                pii_sp), n)
-                    if res.changed:
-                        tf = fl[tok_m]
-                        gfirst_a = (tf & 2) > 0
-                        gback_a = (tf & 4) > 0
-                        good_a = q > 0.0
-                        for (s, e) in res.child_spans:
-                            cq = np.array(child_quality(
-                                starts, ends, good_a, gfirst_a, gback_a,
-                                s, e))
-                            cmq = core.mean_quality(cq)
-                            cwq = core.window_quality(cq, window_size)
-                            rows.append((core.child_name(url, s, e), url,
-                                         e - s, int(cq.size), cmq, cwq,
-                                         core.window_ratio(cmq, cwq),
-                                         s, e, True, lang_pred, True))
-                        continue
-                rows.append((url, url, n, int(q.size), mq, wq,
-                             core.window_ratio(mq, wq), 0, n, False,
-                             lang_pred, True))
-            yield pd.DataFrame(rows, columns=COLS)
+            nd = len(pdf)
+            if not nd:
+                continue
+            urls = np.array(pdf["url"].tolist(), dtype=object)
+            n_chars = np.asarray(pdf["n_chars"], dtype=np.int64)
+            lang_pred = np.array(pdf["lang_pred"].tolist(), dtype=object)
+            gated = ~np.asarray(pdf["lang_ok"], dtype=bool)
+
+            # flatten the per-doc arrays ONCE, then run the same flat
+            # kernels as the intrinsic scorer (prefix-sum mean/window,
+            # whole-batch bad-run masks) — per-doc Python only for docs
+            # that actually scrub. The previous per-doc loop built one
+            # (start, end, q) tuple PER TOKEN (~500 per doc) and was the
+            # reassembly stage's dominant cost.
+            pos_cells = pdf["pos"].to_numpy()
+            counts_all = np.fromiter((len(a) for a in pos_cells),
+                                     dtype=np.int64, count=nd)
+            pos = (np.concatenate(pos_cells).astype(np.int64)
+                   if counts_all.sum() else np.zeros(0, dtype=np.int64))
+            fl = np.concatenate(pdf["flags"].to_numpy()).astype(np.int8) \
+                if pos.size else np.zeros(0, dtype=np.int8)
+            doc_of_all = np.repeat(np.arange(nd), counts_all)
+
+            # exactly one pos=-1 metadata sentinel per document; two
+            # means an xxhash64(url) doc_key collision merged two docs —
+            # refuse to emit silently-corrupt rows
+            sent = np.bincount(doc_of_all[pos == -1], minlength=nd)
+            if (sent != 1).any():
+                d = int(np.nonzero(sent != 1)[0][0])
+                raise RuntimeError(
+                    "doc_key collision: %d sentinel rows under one "
+                    "key (url=%r) — two documents hashed to the same "
+                    "xxhash64(url); add a second hash column to the "
+                    "doc_key grouping" % (int(sent[d]), urls[d]))
+
+            tok_m = pos >= 0
+            doc_of_t = doc_of_all[tok_m]
+            tok_counts = np.bincount(doc_of_t, minlength=nd)
+            tf = fl[tok_m]
+            q = (tf & 1).astype(np.float64)
+            mean, win = core.flat_mean_window(q, tok_counts, window_size)
+            ratio = core.flat_window_ratio(mean, win)
+
+            scrubbed = np.zeros(nd, dtype=bool)
+            child_rows: list = []
+            if scrub:
+                start = np.concatenate(pdf["start"].to_numpy()) \
+                    .astype(np.int64) if pos.size \
+                    else np.zeros(0, dtype=np.int64)
+                end = np.concatenate(pdf["end"].to_numpy()) \
+                    .astype(np.int64) if pos.size \
+                    else np.zeros(0, dtype=np.int64)
+                starts_t, ends_t = start[tok_m], end[tok_m]
+                pii_by_doc: dict = {}
+                for i in np.nonzero(pos == -2)[0]:
+                    pii_by_doc.setdefault(int(doc_of_all[i]), []).append(
+                        (int(start[i]), int(end[i])))
+                scrubbed, child_rows = core.flat_batch_scrub(
+                    doc_of_t, starts_t, ends_t, q, n_chars, gated,
+                    trim, split, pii_by_doc)
+
+            keep = ~scrubbed  # gated + unscrubbed parents
+            out = pd.DataFrame({
+                "url": urls, "parent_url": urls,
+                "n_chars": n_chars,
+                "n_tokens": np.where(gated, 0, tok_counts),
+                "mean_q": np.where(gated, 0.0, mean),
+                "window_q": np.where(gated, 0.0, win),
+                "ratio": np.where(gated, 1.0, ratio),
+                "child_start": np.zeros(nd, dtype=np.int64),
+                "child_end": n_chars,
+                "is_child": np.zeros(nd, dtype=bool),
+                "lang_pred": lang_pred,
+                "lang_ok": ~gated,
+            }, columns=COLS)[keep]
+
+            if child_rows:
+                # children re-score from the parent's token flags alone
+                # (fragment rules — see child_quality); per-child Python
+                # runs only for the scrubbed minority
+                tok_off = np.zeros(nd + 1, dtype=np.int64)
+                np.cumsum(tok_counts, out=tok_off[1:])
+                good_f = q > 0.0
+                gfirst_f = (tf & 2) > 0
+                gback_f = (tf & 4) > 0
+                krows = []
+                for (d, s, e) in child_rows:
+                    o, c = tok_off[d], tok_counts[d]
+                    sl = slice(o, o + c)
+                    cq = np.array(child_quality(
+                        starts_t[sl], ends_t[sl], good_f[sl],
+                        gfirst_f[sl], gback_f[sl], s, e))
+                    cmq = core.mean_quality(cq)
+                    cwq = core.window_quality(cq, window_size)
+                    krows.append((core.child_name(urls[d], s, e), urls[d],
+                                  e - s, int(cq.size), cmq, cwq,
+                                  core.window_ratio(cmq, cwq),
+                                  s, e, True, lang_pred[d], True))
+                out = pd.concat(
+                    [out, pd.DataFrame(krows, columns=COLS)],
+                    ignore_index=True)
+            yield out
 
     return mapper
 

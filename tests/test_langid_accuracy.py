@@ -218,3 +218,20 @@ def test_script_short_circuit_priority():
     assert lang == "zh"
     lang, _ = core.predict_lang("물리학은 자연을 연구한다")
     assert lang == "ko"
+
+
+def test_bounded_sample_semantics():
+    """LID reads only the first LID_SAMPLE_CHARS chars (the
+    production-LID bounded sample): a doc that OPENS in English is
+    classified en even when a much longer German tail follows, and the
+    prediction is invariant to anything past the cap."""
+    en_head = ("The committee reviewed the annual report and the board "
+               "approved the budget for the coming year. ") * 12
+    assert len(en_head) >= core.LID_SAMPLE_CHARS
+    de_tail = ("Der Vorstand hat den Haushalt für das kommende Jahr "
+               "genehmigt und den Bericht geprüft. ") * 200
+    pred, _ = core.flat_predict_lang_texts([en_head + de_tail])
+    assert pred[0] == "en"
+    base, bc = core.flat_predict_lang_texts([en_head + "x" * 5000])
+    alt, ac = core.flat_predict_lang_texts([en_head + "y" * 9000])
+    assert base[0] == alt[0] and bc[0] == ac[0]
