@@ -40,6 +40,7 @@ def _register_self_contained_pickling() -> None:
                 "filtlong_spark.operators.multimodal",
                 "filtlong_spark.operators.jpeg",
                 "filtlong_spark.operators.mp4",
+                "filtlong_spark.operators.mkv",
                 "filtlong_spark.functions.seqscore",
                 "filtlong_spark.functions.textstats",
                 "filtlong_spark.sources.fastx",

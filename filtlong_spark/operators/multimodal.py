@@ -563,6 +563,18 @@ def sniff_bytes(data: bytes) -> tuple[str | None, int | None, int | None]:
         except Exception:
             pass
         return "video/mp4", None, None
+    if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML -> Matroska/WebM
+        try:
+            from filtlong_spark.operators import mkv as _mkv
+            trk = _mkv.parse_video_track(data)
+            mime = ("video/webm" if trk and trk.doc_type == "webm"
+                    else "video/x-matroska")
+            if trk is not None and trk.width and trk.height:
+                return mime, trk.width, trk.height
+            return mime, None, None
+        except Exception:
+            pass
+        return "video/x-matroska", None, None
     if data[:8] == PNG_MAGIC and len(data) >= 24 and data[12:16] == b"IHDR":
         w, h = struct.unpack(">II", data[16:24])
         return "image/png", w, h
@@ -631,6 +643,8 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
     - MJPEG-in-MP4: the ISO BMFF sample tables (operators/mp4.py)
       locate the per-frame JPEG samples, sampled along the stts
       duration timeline and pixel-decoded by operators/jpeg.py;
+    - MJPEG-in-Matroska/WebM: the EBML SimpleBlock walk
+      (operators/mkv.py) does the same from cluster timestamps;
     both re-encode sampled frames as PNG bytes so every downstream
     image stage (decode_image_features, media_near_dups) consumes them
     unchanged. Compressed-codec video (H.264/VP9 — pyav is the
@@ -641,6 +655,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
     _register_self_contained_pickling()
     from . import jpeg as jpeg_mod
     from . import mp4 as mp4_mod
+    from . import mkv as mkv_mod
 
     def fake_frames(doc_id, m, meta):
         n_frames = max(1, (meta["duration_ms"] or 0) // every_ms) \
@@ -665,11 +680,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
             t += d if d > 0 else 100
         return out
 
-    def mp4_frames(doc_id, data):
-        # raises for compressed codecs / broken boxes -> caller falls
-        # back; sampling mirrors the GIF timeline (first frame of each
+    def mjpeg_timeline_frames(doc_id, samples):
+        # sampling mirrors the GIF timeline (first frame of each
         # every_ms bucket, zero durations clamped like zero GCE delays)
-        samples = mp4_mod.mjpeg_frames(data)
         out = []
         t = 0
         next_sample = 0
@@ -680,6 +693,14 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                 next_sample = (t // every_ms + 1) * every_ms
             t += dur if dur > 0 else 100
         return out
+
+    def mp4_frames(doc_id, data):
+        # raises for compressed codecs / broken boxes -> caller falls back
+        return mjpeg_timeline_frames(doc_id, mp4_mod.mjpeg_frames(data))
+
+    def mkv_frames(doc_id, data):
+        # raises for compressed codecs / broken EBML -> caller falls back
+        return mjpeg_timeline_frames(doc_id, mkv_mod.mjpeg_frames(data))
 
     def mapper(batches):
         for pdf in batches:
@@ -696,6 +717,12 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                 if real and len(data) >= 12 and data[4:8] == b"ftyp":
                     try:
                         rows.extend(mp4_frames(doc_id, data))
+                        continue
+                    except Exception:
+                        pass  # compressed codec / corrupt -> fake
+                if real and data[:4] == mkv_mod.EBML_MAGIC:
+                    try:
+                        rows.extend(mkv_frames(doc_id, data))
                         continue
                     except Exception:
                         pass  # compressed codec / corrupt -> fake
