@@ -32,3 +32,28 @@ def test_pipeline_label_join_not_cartesian(spark):
     plan = res.kept._jdf.queryExecution().executedPlan().toString()
     for marker in FORBIDDEN:
         assert marker not in plan, plan
+
+
+def test_lm_paint_joins_are_broadcast(spark):
+    """The token-grain goodness painting must join the (pruned, small)
+    count tables by BROADCAST when they fit — a sort-merge/shuffle-hash
+    strategy here would shuffle the full token stream twice (by
+    (prev, tok) then by tok), the single most expensive mistake the LM
+    plan can make at scale. AQE can only pick broadcast if the static
+    estimate doesn't pin the join; this guards the plan shape."""
+    from pyspark.sql import functions as F
+    from filtlong_spark.operators import lm as lm_op
+    import bench
+    from filtlong_spark.sources import tables as t
+    pages = t.documents_as_pages(spark, SF_DIR)
+    cfg = bench.lm_stack_cfg()
+    tabs = lm_op.lm_count_tables(pages, cfg.lm_min_count)
+    keyed = pages.select(F.xxhash64("url").alias("doc_key"), "url", "text")
+    tok = keyed.mapInArrow(lm_op.make_token_mapper(cfg),
+                           schema=lm_op.TOK_SCHEMA)
+    painted = lm_op.paint_goodness(tok, tabs.c1, tabs.c2e, tabs.total,
+                                   cfg.lm_threshold)
+    plan = painted._jdf.queryExecution().executedPlan().toString()
+    tabs.release()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
