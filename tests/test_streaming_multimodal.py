@@ -740,3 +740,85 @@ def test_mkv_compressed_codec_quarantines(spark):
     fake = mm.frame_sample(media, every_ms=1000, real=False).collect()
     assert sorted((r["frame_idx"], bytes(r["frame"])) for r in rows) \
         == sorted((r["frame_idx"], bytes(r["frame"])) for r in fake)
+
+
+class TestAudio:
+    def test_wav_roundtrip_and_features(self):
+        """16-bit PCM round-trip: a 440 Hz tone encodes -> decodes to
+        the same samples (quantization-close), and the features are the
+        physically right ones (duration, rms, dominant low band)."""
+        import numpy as np
+        rate = 8000
+        t = np.arange(rate) / rate            # 1 second
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+        data = mm.wav_encode(tone, rate)
+        assert mm.sniff_bytes(data) == ("audio/wav", None, None)
+        s, r = mm.wav_decode_samples(data)
+        assert r == rate and s.shape == (rate, 1)
+        assert np.abs(s[:, 0] - tone).max() < 1e-3
+        dur, rms, peak, zcr, *bands = \
+            mm.audio_features_from_samples(s, r)
+        assert abs(dur - 1.0) < 1e-9
+        assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+        assert abs(peak - 0.5) < 1e-3
+        # 440 Hz of a 4000 Hz Nyquist -> lowest band (0-500 Hz)
+        assert bands[0] > 0.99
+        # zero crossings of a 440 Hz tone: ~880 per second
+        assert abs(zcr - 880 / rate) < 0.01
+
+    def test_wav_bit_depths(self):
+        """8/24/32-bit PCM and float32 decode to the same waveform."""
+        import numpy as np
+        import struct
+        rate = 4000
+        tone = (0.25 * np.sin(2 * np.pi * 100 *
+                              np.arange(rate // 2) / rate))
+        ref, _ = mm.wav_decode_samples(mm.wav_encode(tone, rate))
+
+        def wav_raw(fmt_code, bits, pcm):
+            fmt = struct.pack("<HHIIHH", fmt_code, 1, rate,
+                              rate * bits // 8, bits // 8, bits)
+            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt))
+                    + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm)
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        s8, _ = mm.wav_decode_samples(wav_raw(
+            1, 8, (np.round(tone * 128) + 128).astype(np.uint8)
+            .tobytes()))
+        v24 = np.round(tone * (1 << 23)).astype(np.int64)
+        b24 = np.zeros((v24.size, 3), dtype=np.uint8)
+        u = np.where(v24 < 0, v24 + (1 << 24), v24)
+        b24[:, 0] = u & 0xFF
+        b24[:, 1] = (u >> 8) & 0xFF
+        b24[:, 2] = (u >> 16) & 0xFF
+        s24, _ = mm.wav_decode_samples(wav_raw(1, 24, b24.tobytes()))
+        s32, _ = mm.wav_decode_samples(wav_raw(
+            1, 32, np.round(tone * (1 << 31)).clip(-(1 << 31),
+                                                   (1 << 31) - 1)
+            .astype("<i4").tobytes()))
+        sf, _ = mm.wav_decode_samples(wav_raw(
+            3, 32, tone.astype("<f4").tobytes()))
+        for s in (s8, s24, s32, sf):
+            assert np.abs(s[:, 0] - ref[:, 0]).max() < 1e-2
+
+    def test_audio_features_spark_real_vs_quarantine(self, spark):
+        """decode_audio_features(real=True): WAV records featurize from
+        decoded samples; an MP3-magic record quarantines to the
+        byte-deterministic fake (same posture as images/video)."""
+        import numpy as np
+        rate = 8000
+        wav = mm.wav_encode(
+            0.3 * np.sin(2 * np.pi * 220 * np.arange(rate) / rate), rate)
+        mp3ish = b"ID3\x04\x00" + b"\x00" * 64
+        media = spark.createDataFrame(
+            [(1, "audio", wav, None), (2, "audio", mp3ish, None)],
+            mm.MEDIA_SCHEMA)
+        rows = {r["doc_id"]: list(r["features"])
+                for r in mm.decode_audio_features(media, real=True)
+                .collect()}
+        s, r = mm.wav_decode_samples(wav)
+        assert rows[1] == mm.audio_features_from_samples(s, r)
+        import hashlib
+        h = hashlib.md5(mp3ish).digest()
+        assert rows[2] == [b / 255.0 for b in h[:mm.AUDIO_FEATURES]]
+        assert mm.sniff_bytes(mp3ish) == ("audio/mpeg", None, None)
