@@ -822,3 +822,62 @@ class TestAudio:
         h = hashlib.md5(mp3ish).digest()
         assert rows[2] == [b / 255.0 for b in h[:mm.AUDIO_FEATURES]]
         assert mm.sniff_bytes(mp3ish) == ("audio/mpeg", None, None)
+
+
+def test_audio_features_feed_embedding_near_dup(spark):
+    """Composition: audio features are just embeddings — two encodings
+    of the same tone (16-bit round-trip noise apart) land as a near-dup
+    pair in the SAME banded-LSH join the text/image embeddings use,
+    while a different tone does not pair with them."""
+    import numpy as np
+    from filtlong_spark.operators.similarity import near_dup_pairs
+    from pyspark.sql import functions as F
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone_a = 0.5 * np.sin(2 * np.pi * 440 * t)
+    # re-encode of a's decode: differs only by 16-bit quantization
+    a2, _ = mm.wav_decode_samples(mm.wav_encode(tone_a, rate))
+    tone_c = 0.4 * np.sin(2 * np.pi * 1900 * t)  # different band profile
+    media = spark.createDataFrame(
+        [(1, "audio", mm.wav_encode(tone_a, rate), None),
+         (2, "audio", mm.wav_encode(a2[:, 0], rate), None),
+         (3, "audio", mm.wav_encode(tone_c, rate), None)],
+        mm.MEDIA_SCHEMA)
+    feats = mm.decode_audio_features(media, real=True).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").alias("embedding"))
+    pairs = {(r["probe_id"], r["vec_id"])
+             for r in near_dup_pairs(feats, threshold=0.999).collect()}
+    assert (1, 2) in pairs or (2, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_streaming_feature_extraction(spark, tmp_path):
+    """decode_image_features / decode_audio_features are map-only, so
+    they compose with readStream unchanged: an availableNow pass over a
+    parquet media directory produces the same features as batch."""
+    import numpy as np
+    src = str(tmp_path / "media_src")
+    ckpt = str(tmp_path / "media_ckpt")
+    sink = str(tmp_path / "media_sink")
+    rate = 4000
+    rows = [(i, "audio",
+             bytearray(mm.wav_encode(
+                 0.3 * np.sin(2 * np.pi * (200 + 50 * i)
+                              * np.arange(rate) / rate), rate)),
+             None) for i in range(8)]
+    spark.createDataFrame(rows, mm.MEDIA_SCHEMA).write.parquet(src)
+
+    stream = spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(src)
+    q = (mm.decode_audio_features(stream, real=True)
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = {r["doc_id"]: list(r["features"])
+                for r in spark.read.parquet(sink).collect()}
+    batch = {r["doc_id"]: list(r["features"])
+             for r in mm.decode_audio_features(
+                 spark.read.parquet(src), real=True).collect()}
+    assert streamed == batch and len(batch) == 8
