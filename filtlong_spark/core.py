@@ -368,8 +368,12 @@ def _trigram_tables():
 
 def _text_trigram_keys(text: str) -> np.ndarray:
     """All overlapping char-trigram keys of lower(text), vectorized:
-    utf-32 view -> three shifted slices packed into int64."""
-    u = np.frombuffer(text.lower().encode("utf-32-le"),
+    utf-32 view -> three shifted slices packed into int64. surrogatepass:
+    lone surrogates (reachable via surrogateescape upstream decoders —
+    the same hazard batch_tokenize guards) encode as their codepoint,
+    occupy a trigram position like any other char, and match no profile
+    key — instead of UnicodeEncodeError killing the whole stage."""
+    u = np.frombuffer(text.lower().encode("utf-32-le", "surrogatepass"),
                       dtype=np.uint32).astype(np.int64)
     if u.size < 3:
         return np.zeros(0, dtype=np.int64)

@@ -226,7 +226,7 @@ def mjpeg_frames(data: bytes):
 # ---------------------------------------------------------------------------
 
 
-def _enc_vint(n: int, keep_marker: bool = False) -> bytes:
+def _enc_vint(n: int) -> bytes:
     """Minimal-length EBML varint for a size (marker added here)."""
     for length in range(1, 9):
         if n < (1 << (7 * length)) - 1:

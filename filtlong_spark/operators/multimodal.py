@@ -552,6 +552,8 @@ def wav_decode_samples(data: bytes):
         size = struct.unpack("<I", data[i + 4:i + 8])[0]
         body = data[i + 8:i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             pcm = body

@@ -235,3 +235,12 @@ def test_bounded_sample_semantics():
     base, bc = core.flat_predict_lang_texts([en_head + "x" * 5000])
     alt, ac = core.flat_predict_lang_texts([en_head + "y" * 9000])
     assert base[0] == alt[0] and bc[0] == ac[0]
+
+
+def test_lone_surrogate_does_not_crash():
+    """surrogateescape upstream decoders can hand the kernel lone
+    surrogates; they must count as unmatched trigram positions, not
+    raise (the batch_tokenize slow-path hazard, mirrored here)."""
+    pred, conf = core.flat_predict_lang_texts(
+        ["hello \ud800 world the and of to with that this from"])
+    assert pred[0] == "en" and conf[0] > 0
