@@ -939,9 +939,12 @@ SELECT * FROM parents UNION ALL SELECT * FROM children ORDER BY child_id"""
         "count(*) AS n_tg",
     ]
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
-    pred = ("CASE WHEN s_hangul > 0 THEN 'ko' "
-            "WHEN s_kana > 0 THEN 'ja' "
-            "WHEN s_han > 0 THEN 'zh' "
+    # script routing gated on >= 5% of trigram positions (20*n >= n_tg),
+    # exactly like the kernel — bare presence would reroute on one
+    # quoted CJK name
+    pred = ("CASE WHEN s_hangul > 0 AND s_hangul * 20 >= n_tg THEN 'ko' "
+            "WHEN s_kana > 0 AND s_kana * 20 >= n_tg THEN 'ja' "
+            "WHEN s_han > 0 AND s_han * 20 >= n_tg THEN 'zh' "
             "WHEN " + best + " = 0 THEN 'und' " + " ".join(
                 f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END")
     total = " + ".join(f"s_{l}" for l in langs)
@@ -968,9 +971,12 @@ s AS (
   FROM {DOCS} d LEFT JOIN s0 USING (doc_id)
 )
 SELECT doc_id, {pred} AS lang_pred,
-       CASE WHEN s_hangul > 0 THEN s_hangul::DOUBLE / greatest(n_tg, 1)
-            WHEN s_kana > 0 THEN s_kana::DOUBLE / greatest(n_tg, 1)
-            WHEN s_han > 0 THEN s_han::DOUBLE / greatest(n_tg, 1)
+       CASE WHEN s_hangul > 0 AND s_hangul * 20 >= n_tg
+            THEN s_hangul::DOUBLE / greatest(n_tg, 1)
+            WHEN s_kana > 0 AND s_kana * 20 >= n_tg
+            THEN s_kana::DOUBLE / greatest(n_tg, 1)
+            WHEN s_han > 0 AND s_han * 20 >= n_tg
+            THEN s_han::DOUBLE / greatest(n_tg, 1)
             WHEN ({total}) > 0
             THEN {best}::DOUBLE / ({total}) ELSE 0.0 END AS lang_conf
 FROM s ORDER BY doc_id"""

@@ -388,8 +388,10 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
     implementations exactly (integer counts -> identical ratios).
 
     Script short-circuit (what every production langid does for
-    script-exclusive languages): any Hangul -> ko, else any kana -> ja,
-    else any Han -> zh — BEFORE the trigram argmax. Han/kana trigrams
+    script-exclusive languages): Hangul -> ko, else kana -> ja, else
+    Han -> zh — BEFORE the trigram argmax, gated on the script filling
+    >= 5% of trigram positions so one quoted CJK name can't reroute an
+    English document. Han/kana trigrams
     barely repeat across topics (a held-out Chinese text can share zero
     trigrams with a multi-KB profile), but the SCRIPT identifies the
     language unambiguously; kana-priority routes kanji+kana Japanese
@@ -444,13 +446,21 @@ def flat_predict_lang_texts(texts) -> tuple[np.ndarray, np.ndarray]:
     conf = np.where(total > 0,
                     per_lang[best, np.arange(nd)] / np.maximum(total, 1),
                     0.0)
-    # script-exclusive routing (priority: hangul > kana > han)
-    routed = (n_hangul > 0) | (n_kana > 0) | (n_han > 0)
+    # script-exclusive routing (priority: hangul > kana > han), gated on
+    # the script being >= 5% of trigram positions — presence alone would
+    # let ONE quoted CJK name reclassify an otherwise-English document
+    # (and the langid gate would then drop it); genuinely-CJK text sits
+    # near 100% so the threshold costs nothing there. Integer form
+    # (20 * n >= positions) mirrors exactly in the SQL oracle.
+    r_hangul = (n_hangul > 0) & (n_hangul * 20 >= sizes)
+    r_kana = (n_kana > 0) & (n_kana * 20 >= sizes)
+    r_han = (n_han > 0) & (n_han * 20 >= sizes)
+    routed = r_hangul | r_kana | r_han
     if routed.any():
         script_pred = np.where(
-            n_hangul > 0, "ko", np.where(n_kana > 0, "ja", "zh"))
+            r_hangul, "ko", np.where(r_kana, "ja", "zh"))
         script_n = np.where(
-            n_hangul > 0, n_hangul, np.where(n_kana > 0, n_kana, n_han))
+            r_hangul, n_hangul, np.where(r_kana, n_kana, n_han))
         pred[routed] = script_pred[routed]
         conf[routed] = (script_n[routed]
                         / np.maximum(sizes[routed], 1))

@@ -171,6 +171,16 @@ def jpeg_decode_pixels(data: bytes):
                 qt[tq] = np.asarray(tbl, dtype=np.int64)
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            # decompression-bomb guard: dims are untrusted header bytes
+            # and the coefficient/pixel grids allocate from them BEFORE
+            # any entropy data validates. A few-hundred-byte file
+            # declaring 65535x65535 would commit ~17 GB per component —
+            # and the resulting OOM kill is not catchable by the
+            # per-record quarantine. 64 MPixel ceiling (~8k x 8k).
+            if h * w > 64_000_000:
+                raise ValueError(
+                    "JPEG dimensions %dx%d exceed the 64 MPixel decode "
+                    "ceiling" % (w, h))
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

@@ -423,10 +423,15 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
             if (sent != 1).any():
                 d = int(np.nonzero(sent != 1)[0][0])
                 raise RuntimeError(
-                    "doc_key collision: %d sentinel rows under one "
-                    "key (url=%r) — two documents hashed to the same "
-                    "xxhash64(url); add a second hash column to the "
-                    "doc_key grouping" % (int(sent[d]), urls[d]))
+                    "%d metadata sentinels under one doc_key (url=%r). "
+                    "Most likely the input contains DUPLICATE url rows "
+                    "— run_filter's ingest dedups urls before this "
+                    "stage; do the same when calling "
+                    "score_and_scrub_distributed directly. (The other, "
+                    "astronomically rarer cause is an xxhash64(url) "
+                    "collision — escape hatch: add a second hash "
+                    "column to the doc_key grouping.)"
+                    % (int(sent[d]), urls[d]))
 
             tok_m = pos >= 0
             doc_of_t = doc_of_all[tok_m]
@@ -525,6 +530,9 @@ def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
     # reassemble mapper detects the double sentinel and raises, so a
     # collision fails loudly instead of silently corrupting; the escape
     # hatch at that scale is a second hash column in the grouping key.
+    # PRECONDITION (inherited from READS2 identity being the url):
+    # input urls must be unique — run_filter's ingest guarantees it;
+    # direct callers with duplicate urls hit the same loud error.
     keyed = pages.select(
         F.xxhash64("url").alias("doc_key"), "url", "text")
     tok_rows = keyed.mapInArrow(make_token_mapper(cfg), schema=TOK_SCHEMA)

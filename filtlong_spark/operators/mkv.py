@@ -116,19 +116,29 @@ def _find(data, start, end, eid):
     return None
 
 
+def ebml_doc_type(data: bytes) -> str:
+    """DocType from the EBML header alone ('webm'/'matroska'), usable
+    even when the Segment has no parseable video track (audio-only
+    WebM is common in a crawl). Falls back to 'matroska'."""
+    try:
+        head = _find(data, 0, len(data), _EBML)
+        if head:
+            dt = _find(data, head[0], head[1], _DOCTYPE)
+            if dt:
+                return data[dt[0]:dt[1]].split(b"\x00")[0] \
+                    .decode("ascii", "replace")
+    except ValueError:
+        pass
+    return "matroska"
+
+
 def parse_video_track(data: bytes) -> MkvVideoTrack | None:
     """First video TrackEntry of the first Segment, or None when the
     EBML/Segment/Tracks walk fails structurally."""
     if data[:4] != EBML_MAGIC:
         return None
     try:
-        head = _find(data, 0, len(data), _EBML)
-        doc_type = "matroska"
-        if head:
-            dt = _find(data, head[0], head[1], _DOCTYPE)
-            if dt:
-                doc_type = data[dt[0]:dt[1]].split(b"\x00")[0] \
-                    .decode("ascii", "replace")
+        doc_type = ebml_doc_type(data)
         seg = _find(data, 0, len(data), _SEGMENT)
         if seg is None:
             return None
@@ -275,14 +285,30 @@ def mkv_encode_mjpeg(jpeg_frames_in, durations_ms, width: int,
         _el(_VIDEO, _el_uint(_PIXEL_WIDTH, width)
             + _el_uint(_PIXEL_HEIGHT, height)),
     ])))
-    blocks = [_el_uint(_CLUSTER_TS, 0)]
+    # block timestamps are SIGNED 16-BIT offsets from their cluster's
+    # timestamp — roll into a new cluster before the offset overflows
+    # (exactly what real muxers do), so long fixtures encode too
+    clusters = []
+    blocks: list[bytes] = []
+    cluster_t = 0
     t = 0
     for f, d in zip(jpeg_frames_in, durations_ms):
+        if not blocks:
+            cluster_t = t
+        rel = t - cluster_t
+        if rel > 32767:
+            clusters.append(_el(_CLUSTER, b"".join(
+                [_el_uint(_CLUSTER_TS, cluster_t)] + blocks)))
+            blocks = []
+            cluster_t = t
+            rel = 0
         blocks.append(_el(_SIMPLE_BLOCK,
                           _enc_vint(1)               # track number
-                          + struct.pack(">h", t)      # relative ts (ms)
+                          + struct.pack(">h", rel)    # relative ts (ms)
                           + b"\x80"                   # keyframe, no lacing
                           + f))
         t += d
-    cluster = _el(_CLUSTER, b"".join(blocks))
-    return header + _el(_SEGMENT, info + track + cluster)
+    if blocks:
+        clusters.append(_el(_CLUSTER, b"".join(
+            [_el_uint(_CLUSTER_TS, cluster_t)] + blocks)))
+    return header + _el(_SEGMENT, info + track + b"".join(clusters))

@@ -124,15 +124,26 @@ def parse_video_track(data: bytes) -> Mp4VideoTrack | None:
             # predefined/reserved = offset 32 to width/height
             w, h = struct.unpack(">HH", data[p + 32:p + 36])
 
+        # every sample occupies >= 1 byte of mdat, so the FILE SIZE
+        # bounds any honest sample/entry count — reject counts beyond it
+        # before expanding lists (untrusted 32-bit counts in a crafted
+        # ~200-byte file could otherwise allocate tens of GB inside the
+        # per-record try/except, and the OOM kill is NOT catchable)
+        max_n = len(data)
+
         # stts: [(count, delta)] -> flat per-sample durations
         s, e = tabs[b"stts"]
         _, p = _full(data, s)
         n = struct.unpack(">I", data[p:p + 4])[0]
         p += 4
+        if n > max_n:
+            raise ValueError("stts entry count exceeds file size")
         durations = []
         for _i in range(n):
             cnt, delta = struct.unpack(">II", data[p:p + 8])
             p += 8
+            if cnt > max_n or len(durations) + cnt > max_n:
+                raise ValueError("stts sample count exceeds file size")
             durations.extend([delta] * cnt)
 
         # stsz: per-sample sizes (or one constant size)
@@ -140,6 +151,8 @@ def parse_video_track(data: bytes) -> Mp4VideoTrack | None:
         _, p = _full(data, s)
         const_size, n_samples = struct.unpack(">II", data[p:p + 8])
         p += 8
+        if n_samples > max_n:
+            raise ValueError("stsz sample count exceeds file size")
         if const_size:
             sizes = [const_size] * n_samples
         else:

@@ -706,9 +706,12 @@ def sniff_bytes(data: bytes) -> tuple[str | None, int | None, int | None]:
     if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML -> Matroska/WebM
         try:
             from filtlong_spark.operators import mkv as _mkv
-            trk = _mkv.parse_video_track(data)
-            mime = ("video/webm" if trk and trk.doc_type == "webm"
+            # DocType decides the mime even when no video track parses
+            # (audio-only WebM is common in a crawl)
+            mime = ("video/webm"
+                    if _mkv.ebml_doc_type(data) == "webm"
                     else "video/x-matroska")
+            trk = _mkv.parse_video_track(data)
             if trk is not None and trk.width and trk.height:
                 return mime, trk.width, trk.height
             return mime, None, None

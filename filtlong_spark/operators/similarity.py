@@ -49,37 +49,32 @@ def _safe_norms(M):
     return np.where(n == 0.0, 1.0, n)
 
 
-def cosine_pairs(emb: DataFrame, probe_max_id: int,
-                 threshold: float) -> DataFrame:
-    """All (probe_id, vec_id, cos) with probe_id <= probe_max_id,
-    probe_id < vec_id, round(cos, 6) >= threshold.
-
-    Physical shape (the 100 TB pattern): the tiny probe side is collected
-    and broadcast as a normalized numpy matrix; ONE mapInPandas pass over
-    the corpus computes all cosines per Arrow batch with a BLAS matmul.
-    No join, no shuffle — a single streaming scan. (A Catalyst HOF fold
-    (F.aggregate) is interpreted per element per row and re-evaluated in
-    every consuming expression — measured 10-100x slower and the dominant
-    cost in early benches.)
-
-    Rounded to 6dp so float-summation order can never flip the compare vs
-    the SQL oracle."""
+def _probe_scan(emb: DataFrame, probe_max_id: int, keep_fn):
+    """Shared scaffolding for the exact-cosine family: collect the tiny
+    probe side, broadcast it as a normalized numpy matrix, and run ONE
+    mapInPandas pass over the corpus computing all cosines per Arrow
+    batch with a BLAS matmul — no join, no shuffle, a single streaming
+    scan (the 100 TB pattern; a Catalyst HOF fold is interpreted per
+    element per row and measured 10-100x slower). ``keep_fn(sims,
+    valid)`` -> boolean keep mask lets callers prune per batch
+    (threshold filter, partial top-k) without duplicating the
+    probe-broadcast/matmul/oracle-op-order logic. Returns None when
+    there are no probes, else the (probe_id, vec_id, cos) DataFrame of
+    RAW cosines (callers round)."""
     import numpy as np
     import pandas as pd
 
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
 
-    spark = emb.sparkSession
     probes = (emb.filter(F.col("vec_id") <= probe_max_id)
               .select("vec_id", "embedding").collect())
     if not probes:
-        return spark.createDataFrame(
-            [], "probe_id long, vec_id long, cos double")
+        return None
     pids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
     P = np.array([r["embedding"] for r in probes], dtype=np.float64)
     pnorm = _safe_norms(P)
-    bc = spark.sparkContext.broadcast((pids, P, pnorm))
+    bc = emb.sparkSession.sparkContext.broadcast((pids, P, pnorm))
 
     def mapper(batches):
         b_pids, b_p, b_pnorm = bc.value
@@ -90,13 +85,31 @@ def cosine_pairs(emb: DataFrame, probe_max_id: int,
             # oracle op order: dot of RAW vectors / product of norms
             sims = (E @ b_p.T) / (_safe_norms(E)[:, None] * b_pnorm[None, :])
             vids = pdf["vec_id"].to_numpy()
-            mask = b_pids[None, :] < vids[:, None]   # probe_id < vec_id
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame({"probe_id": b_pids[c], "vec_id": vids[r],
-                                "cos": sims[r, c]})
+            valid = b_pids[None, :] < vids[:, None]   # probe_id < vec_id
+            keep = keep_fn(sims, valid)
+            r, c = np.nonzero(keep)
+            if len(r):
+                yield pd.DataFrame({"probe_id": b_pids[c],
+                                    "vec_id": vids[r],
+                                    "cos": sims[r, c]})
 
-    pairs = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         mapper, schema="probe_id long, vec_id long, cos double")
+
+
+def cosine_pairs(emb: DataFrame, probe_max_id: int,
+                 threshold: float) -> DataFrame:
+    """All (probe_id, vec_id, cos) with probe_id <= probe_max_id,
+    probe_id < vec_id, round(cos, 6) >= threshold — one _probe_scan
+    with no per-batch pruning (the threshold compares ROUNDED cosines,
+    applied after the scan).
+
+    Rounded to 6dp so float-summation order can never flip the compare vs
+    the SQL oracle."""
+    pairs = _probe_scan(emb, probe_max_id, lambda sims, valid: valid)
+    if pairs is None:
+        return emb.sparkSession.createDataFrame(
+            [], "probe_id long, vec_id long, cos double")
     return (pairs.withColumn("cos", F.round("cos", 6))
             .filter(F.col("cos") >= threshold)
             .select("probe_id", "vec_id", "cos"))
@@ -114,50 +127,24 @@ def cosine_topk(emb: DataFrame, probe_max_id: int, k: int) -> DataFrame:
     ~k rows per probe PER BATCH instead of the whole probes-x-corpus
     pair set — the exact path stays usable at large probe counts, and
     the emitted (probe_id, vec_id, cos, rank) rows are bit-identical to
-    the unpruned window (same F.round, same ordering)."""
-    import numpy as np
-    import pandas as pd
+    the unpruned window (same F.round, same ordering). Shares
+    _probe_scan with cosine_pairs; only the keep mask differs."""
     from pyspark.sql import Window
-
-    from ..functions.scoring import _register_self_contained_pickling
-    _register_self_contained_pickling()
-
-    spark = emb.sparkSession
-    probes = (emb.filter(F.col("vec_id") <= probe_max_id)
-              .select("vec_id", "embedding").collect())
-    if not probes:
-        return spark.createDataFrame(
-            [], "probe_id long, vec_id long, cos double, rank int")
-    pids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
-    P = np.array([r["embedding"] for r in probes], dtype=np.float64)
-    pnorm = _safe_norms(P)
-    bc = spark.sparkContext.broadcast((pids, P, pnorm))
     margin = 2e-6
 
-    def mapper(batches):
-        b_pids, b_p, b_pnorm = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = (E @ b_p.T) / (_safe_norms(E)[:, None] * b_pnorm[None, :])
-            vids = pdf["vec_id"].to_numpy()
-            valid = b_pids[None, :] < vids[:, None]   # probe_id < vec_id
-            masked = np.where(valid, sims, -np.inf)
-            if masked.shape[0] > k:
-                # k-th best raw cosine per probe column
-                thr = -np.partition(-masked, k - 1, axis=0)[k - 1]
-                keep = valid & (masked >= thr[None, :] - margin)
-            else:
-                keep = valid
-            r, c = np.nonzero(keep)
-            if len(r):
-                yield pd.DataFrame({"probe_id": b_pids[c],
-                                    "vec_id": vids[r],
-                                    "cos": sims[r, c]})
+    def topk_keep(sims, valid):
+        import numpy as np
+        masked = np.where(valid, sims, -np.inf)
+        if masked.shape[0] > k:
+            # k-th best raw cosine per probe column
+            thr = -np.partition(-masked, k - 1, axis=0)[k - 1]
+            return valid & (masked >= thr[None, :] - margin)
+        return valid
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(
-        mapper, schema="probe_id long, vec_id long, cos double")
+    cand = _probe_scan(emb, probe_max_id, topk_keep)
+    if cand is None:
+        return emb.sparkSession.createDataFrame(
+            [], "probe_id long, vec_id long, cos double, rank int")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (cand.withColumn("cos", F.round("cos", 6))
             .withColumn("rank", F.row_number().over(w))

@@ -244,3 +244,15 @@ def test_lone_surrogate_does_not_crash():
     pred, conf = core.flat_predict_lang_texts(
         ["hello \ud800 world the and of to with that this from"])
     assert pred[0] == "en" and conf[0] > 0
+
+
+def test_script_routing_needs_majority_share():
+    """One quoted CJK name must NOT reroute an English document (the
+    gate would silently drop it); genuinely-CJK text still routes."""
+    en = ("The prime minister met reporters in 北京 on Tuesday and "
+          "discussed the trade agreement with the visiting delegation "
+          "before returning to the capital for further talks this week.")
+    pred, _ = core.flat_predict_lang_texts([en])
+    assert pred[0] == "en"
+    pred2, conf2 = core.flat_predict_lang_texts(["量子力学研究微观粒子的运动规律"])
+    assert pred2[0] == "zh" and conf2[0] > 0.5
