@@ -881,3 +881,47 @@ def test_streaming_feature_extraction(spark, tmp_path):
              for r in mm.decode_audio_features(
                  spark.read.parquet(src), real=True).collect()}
     assert streamed == batch and len(batch) == 8
+
+
+def test_mp4_crafted_counts_rejected_fast():
+    """A tiny crafted MP4 declaring 2^32-ish sample counts must raise
+    promptly (count capped by file size) — an executor OOM from an
+    untrusted 32-bit field is not catchable by the record quarantine."""
+    import struct
+    import time
+    from filtlong_spark.operators import mp4
+    data, _, _ = _mjpeg_mp4(n_frames=2, dur_ms=500)
+    # stts payload: fullbox(ver/flags) + entry_count + (count, delta);
+    # blow up the first run's sample count
+    i = data.find(b"stts")
+    assert i > 0
+    entry = i + 4 + 4 + 4  # type + fullbox header + entry_count
+    bombed = (data[:entry] + struct.pack(">I", 0xFFFF0000)
+              + data[entry + 4:])
+    t0 = time.time()
+    try:
+        mp4.mjpeg_frames(bombed)
+        assert False, "crafted stts count must not parse"
+    except ValueError:
+        pass
+    assert time.time() - t0 < 1.0
+
+
+def test_jpeg_dimension_bomb_rejected():
+    """A JPEG header declaring 65535x65535 must raise before allocating
+    coefficient grids (decompression-bomb guard), for baseline AND
+    progressive frames."""
+    import struct
+    from filtlong_spark.operators import jpeg
+    ok = jpeg.jpeg_encode(__import__("numpy").full((16, 24, 3), 128,
+                                                   dtype="uint8"))
+    for sof in (b"\xff\xc0", b"\xff\xc2"):
+        i = ok.find(b"\xff\xc0")
+        assert i > 0
+        bomb = (ok[:i] + sof + ok[i + 2:i + 5]
+                + struct.pack(">HH", 65535, 65535) + ok[i + 9:])
+        try:
+            jpeg.jpeg_decode_pixels(bomb)
+            assert False, "dimension bomb must not decode"
+        except ValueError as e:
+            assert "MPixel" in str(e)
