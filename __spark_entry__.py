@@ -289,6 +289,22 @@ def q_dedup_jaccard(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+DECONTAM_MOD = 7   # fixture benchmark slice: doc_id % 7 == 2 is "the eval set"
+DECONTAM_RES = 2
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: a deterministic 1/7 slice of the
+    documents table stands in for the held-out eval set; every remaining
+    corpus doc is flagged when it shares >= 3 distinct 5-gram shingles
+    with ANY benchmark doc (the GPT-3/Gopher n-gram overlap rule at the
+    fixture's document length)."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % DECONTAM_MOD == DECONTAM_RES)
+    corpus = d.filter(F.col("doc_id") % DECONTAM_MOD != DECONTAM_RES)
+    return dedup_op.decontaminate(corpus, bench).orderBy("doc_id")
+
+
 def q_dedup_groups(spark, sf_dir):
     """Candidate pairs -> keep/drop GROUPS: connected components of the
     minhash-LSH pair graph via min-label propagation (checked against a
@@ -636,6 +652,19 @@ def q_host_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+HOST_SAMPLE_TARGET = 10   # docs per host the sampler damps toward
+
+
+def q_host_sample(spark, sf_dir):
+    """Temperature-damped per-host downsampling (domain mixing):
+    p_keep = min(1, sqrt(target/n_host)), decided per doc by a
+    deterministic md5 uniform — reproducible across engines."""
+    from filtlong_spark.operators import partitioning as pt
+    return (pt.host_temperature_sample(_docs(spark, sf_dir),
+                                       HOST_SAMPLE_TARGET, alpha=0.5)
+            .orderBy("doc_id"))
+
+
 def q_dup_check(spark, sf_dir):
     """A4: duplicate-key data-quality gate (src/main.cpp:113-117)."""
     d = _docs(spark, sf_dir)
@@ -680,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
         "dedup_lines": q_dedup_lines,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -699,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "split_assign": q_split_assign,
         "host_gate": q_host_gate,
+        "host_sample": q_host_sample,
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
     }
@@ -1090,6 +1121,26 @@ ORDER BY doc_a, doc_b"""
 
     # keep/drop groups: recursive-CTE connected components over the SAME
     # minhash-LSH candidate pairs (rep = min doc_id reachable)
+    sql["decontaminate"] = f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
+corp AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE5}) AS shingle FROM d
+  WHERE doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}
+),
+ben AS (
+  SELECT DISTINCT unnest({_SHINGLE5}) AS shingle FROM d
+  WHERE doc_id % {DECONTAM_MOD} = {DECONTAM_RES}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM corp JOIN ben USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= 3 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}
+ORDER BY doc_id"""
+
     sql["dedup_groups"] = (
         _MH_CTES.replace("\nWITH d AS", "\nWITH RECURSIVE d AS", 1)
         + f""",
@@ -1885,6 +1936,20 @@ SELECT doc_id, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id"""
+
+    sql["host_sample"] = f"""
+WITH counts AS (
+  SELECT source AS host, count(*) AS n_host FROM {DOCS} GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, c.host, c.n_host,
+         least(1.0, sqrt({HOST_SAMPLE_TARGET}.0 / c.n_host)) AS p_keep,
+         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+           / {float(1 << 60)!r} AS u01
+  FROM {DOCS} d JOIN counts c ON d.source = c.host
+)
+SELECT doc_id, host, n_host, p_keep, u01 < p_keep AS sampled
+FROM scored ORDER BY doc_id"""
 
     sql["host_gate"] = f"""
 WITH per AS (

@@ -492,3 +492,34 @@ def simhash_of_texts(texts, core):
     fp = ((votes > 0).astype(np.uint64) * weights[None, :]) \
         .sum(axis=1).astype(np.int64)
     return nz, fp
+
+
+def decontaminate(docs: DataFrame, bench_docs: DataFrame,
+                  shingle_n: int = 5, min_hits: int = 3) -> DataFrame:
+    """Benchmark decontamination — the 'remove evaluation-set overlap'
+    stage every LLM training pipeline runs before the corpus ships
+    (GPT-3 appendix C / Gopher A.8 13-gram rule): (doc_id, n_hits,
+    contaminated) for every corpus doc, where n_hits counts the DISTINCT
+    word n-grams the doc shares with ANY benchmark document and
+    contaminated = n_hits >= min_hits.
+
+    Scale shape: the benchmark side is small by construction (eval sets
+    are 10^3-10^6 docs vs the 10^12-doc corpus), so its distinct shingle
+    set is broadcast and the corpus-side probe is a map-only hash-join
+    on the existing zero-shuffle shingling pass — no corpus-grain
+    shuffle of anything but the (doc_id, n_hits) hit counts, which
+    partial-aggregate map-side. The left join back to the full doc list
+    keys on doc_id only (no text movement). Mirrored exactly by the
+    decontaminate DuckDB oracle."""
+    corpus_sh = _doc_shingles(docs, shingle_n)
+    bench_sh = (_doc_shingles(bench_docs, shingle_n)
+                .select("shingle").distinct())
+    # _doc_shingles already emits DISTINCT shingles per doc, so the
+    # post-probe count(*) is a distinct-shingle count.
+    hits = (corpus_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) >= min_hits)
+                    .alias("contaminated")))

@@ -150,3 +150,48 @@ def skew_aware_host_agg(pages: DataFrame, n_salts: int = 16) -> DataFrame:
                     F.sum(F.length("text")).alias("c")))
     return (partial.groupBy("host")
             .agg(F.sum("n").alias("n_docs"), F.sum("c").alias("chars")))
+
+
+def host_temperature_sample(docs: DataFrame, target_per_host: int,
+                            alpha: float = 0.5,
+                            host_col: str = "source",
+                            key_col: str = "doc_id") -> DataFrame:
+    """Temperature-damped per-host downsampling — the 'domain mixing'
+    stage of a training-data pipeline: over-represented hosts are
+    downsampled toward ``target_per_host`` docs with exponent ``alpha``
+    (alpha=1 -> proportional cap, alpha=0.5 -> sqrt damping, the common
+    'flatten the Zipf head without erasing it' setting). Returns
+    (doc_id, host, n_host, p_keep, sampled) for EVERY input doc:
+    p_keep = min(1, (target/n_host)^alpha) and sampled is decided by a
+    deterministic per-doc uniform (md5 of the doc key, 60-bit prefix /
+    2^60) — reproducible across runs, cluster sizes, and engines.
+
+    alpha is restricted to {1.0, 0.5, 0.25} so the exponent is computed
+    with division + sqrt only (both correctly-rounded IEEE ops, so the
+    DuckDB oracle matches p_keep bit-for-bit; libm pow() is NOT
+    correctly rounded and differs across engines).
+
+    Scale shape: one key-only host count (partial agg collapses each
+    partition to rows-per-distinct-host before the exchange), broadcast
+    back to doc grain, then a map-only md5 comparison — no doc-grain
+    shuffle, no text movement."""
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError("alpha must be 1.0, 0.5 or 0.25 (sqrt-chain "
+                         "exponents; pow() is not cross-engine exact)")
+    counts = (docs.groupBy(F.col(host_col).alias("host"))
+              .agg(F.count("*").alias("n_host")))
+    ratio = F.lit(float(target_per_host)) / F.col("n_host")
+    damped = ratio
+    a = alpha
+    while a < 1.0:
+        damped = F.sqrt(damped)
+        a *= 2.0
+    p_keep = F.least(F.lit(1.0), damped)
+    u01 = (F.conv(F.substring(
+               F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15),
+               16, 10).cast("long") / F.lit(float(1 << 60)))
+    return (docs.select(key_col, F.col(host_col).alias("host"))
+            .join(F.broadcast(counts), "host")
+            .select(key_col, "host", "n_host",
+                    p_keep.alias("p_keep"),
+                    (u01 < p_keep).alias("sampled")))

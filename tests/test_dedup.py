@@ -141,3 +141,32 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out[6] == ""
     assert out[7] == "no boiler here\n\nblank kept"
     assert len(out) == 8
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc sharing a >=7-token span with a benchmark doc is
+    contaminated (>= 3 distinct 5-gram hits); partial/disjoint docs are
+    not; docs with zero hits still appear with n_hits = 0."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta eta")])
+    corpus = _docs(spark, [
+        (1, "xx alpha beta gamma delta epsilon zeta eta yy"),   # full span
+        (2, "alpha beta gamma delta epsilon nothing else"),     # 1 shingle
+        (3, "completely unrelated words fill this document"),   # 0 hits
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(corpus, bench).collect()}
+    assert out[1]["n_hits"] == 3 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 1 and not out[2]["contaminated"]
+    assert out[3]["n_hits"] == 0 and not out[3]["contaminated"]
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark shingle set must reach the corpus probe as a
+    broadcast — a shuffled join here would re-shuffle the corpus-sized
+    shingle stream on shingle text, the exact plan the operator exists
+    to avoid."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    plan = (dedup.decontaminate(corpus, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan

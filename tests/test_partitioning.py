@@ -129,3 +129,30 @@ def test_host_quality_gate_cuts_bad_domain(spark):
     assert out[21] == ("void.com", False)
     assert out[22] == ("void.com", False)
     assert len(out) == 23
+
+
+def test_host_temperature_sample_damps_hot_host(spark):
+    """A 200-doc host is sampled at p=sqrt(10/200)~0.22 while a 5-doc
+    host keeps everything (p_keep clamped to 1.0); the draw is
+    deterministic across invocations."""
+    import pytest
+    rows = ([(i, "t", "hot") for i in range(200)]
+            + [(1000 + i, "t", "cold") for i in range(5)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    out = pt.host_temperature_sample(docs, 10, alpha=0.5)
+    agg = {r["host"]: r for r in
+           out.groupBy("host").agg(
+               F.count("*").alias("n"),
+               F.sum(F.col("sampled").cast("int")).alias("kept"),
+               F.min("p_keep").alias("p")).collect()}
+    assert agg["cold"]["p"] == 1.0 and agg["cold"]["kept"] == 5
+    assert abs(agg["hot"]["p"] - (10 / 200) ** 0.5) < 1e-12
+    # md5 uniforms: kept count concentrates near n*p (binomial-ish bound)
+    assert 20 <= agg["hot"]["kept"] <= 70
+    # deterministic: same rows sampled on a second evaluation
+    first = {r["doc_id"] for r in out.filter("sampled").collect()}
+    second = {r["doc_id"] for r in out.filter("sampled").collect()}
+    assert first == second
+    with pytest.raises(ValueError):
+        pt.host_temperature_sample(docs, 10, alpha=0.3)
