@@ -305,6 +305,18 @@ def q_decontaminate(spark, sf_dir):
     return dedup_op.decontaminate(corpus, bench).orderBy("doc_id")
 
 
+SUBSTR_K = 8   # window width (tokens) for exact substring-level dedup
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Exact substring-level dedup at 8-token window grain (the Lee et
+    al. 2022 repeated-substring rule, distributable rendering): any
+    window occurring >= 2 times anywhere in the corpus is duplicated;
+    covered tokens are cut from clean_text."""
+    return (dedup_op.substring_dedup(_docs(spark, sf_dir), k=SUBSTR_K)
+            .orderBy("doc_id"))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Candidate pairs -> keep/drop GROUPS: connected components of the
     minhash-LSH pair graph via min-label propagation (checked against a
@@ -710,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_groups": q_dedup_groups,
         "decontaminate": q_decontaminate,
+        "dedup_substring": q_dedup_substring,
         "dedup_lines": q_dedup_lines,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1139,6 +1152,47 @@ SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) >= 3 AS contaminated
 FROM d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {DECONTAM_MOD} <> {DECONTAM_RES}
+ORDER BY doc_id"""
+
+    _K = SUBSTR_K
+    sql["dedup_substring"] = f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM {DOCS}),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks) - {_K - 1}, 0)))
+           AS pos,
+         unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {_K - 1}, 0)),
+             i -> array_to_string(toks[i:i+{_K - 1}], ' '))) AS win
+  FROM d),
+wh AS (SELECT doc_id, pos,
+              ('0x' || substr(md5(win), 1, 15))::BIGINT AS whash
+       FROM w),
+dup AS (SELECT whash FROM wh GROUP BY 1 HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM wh JOIN dup USING (whash)),
+covpos AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + {_K - 1})) AS tpos
+    FROM hits)),
+t AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM d),
+clean AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE c.tpos IS NULL), '') AS clean_text
+  FROM t LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.pos = c.tpos
+  GROUP BY t.doc_id),
+hd AS (SELECT doc_id, count(*) AS dup_windows FROM hits GROUP BY 1)
+SELECT d.doc_id,
+       greatest(len(toks) - {_K - 1}, 0) AS n_windows,
+       coalesce(hd.dup_windows, 0) AS dup_windows,
+       CASE WHEN len(toks) > {_K - 1}
+            THEN coalesce(hd.dup_windows, 0)::DOUBLE
+                 / (len(toks) - {_K - 1})
+            ELSE 0.0 END AS dup_frac,
+       coalesce(cl.clean_text, '') AS clean_text
+FROM d LEFT JOIN hd USING (doc_id) LEFT JOIN clean cl USING (doc_id)
 ORDER BY doc_id"""
 
     sql["dedup_groups"] = (

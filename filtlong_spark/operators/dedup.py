@@ -523,3 +523,101 @@ def decontaminate(docs: DataFrame, bench_docs: DataFrame,
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) >= min_hits)
                     .alias("contaminated")))
+
+
+def _doc_windows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, whash): EVERY k-token window of every doc (1-based
+    start position, NOT distinct — within-doc repeats count), whash =
+    60-bit md5 prefix of the space-joined window. Hashing happens inside
+    the Arrow mapper so the exchange downstream carries 16-byte rows,
+    never window text. Zero shuffle here; parallelism = input
+    partitions."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core
+
+    def mapper(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [m.group(0) for m in core.TOKEN_RE.finditer(text or "")]
+                for i in range(len(toks) - k + 1):
+                    win = " ".join(toks[i:i + k])
+                    ids.append(doc_id)
+                    poss.append(i + 1)
+                    hs.append(int(
+                        hashlib.md5(win.encode()).hexdigest()[:15], 16))
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "whash": hs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        mapper, schema="doc_id long, pos int, whash long")
+
+
+def substring_dedup(docs: DataFrame, k: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """EXACT substring-level dedup at k-token window grain — the 'remove
+    repeated substrings, not just repeated documents' stage (Lee et al.
+    2022, 'Deduplicating Training Data Makes Language Models Better',
+    which found ~1% of tokens sit in >=50-token spans repeated verbatim
+    across web corpora; their suffix-array rule rendered distributable
+    as fixed-width window hashing). A window occurring >= min_count
+    times ANYWHERE in the corpus (other docs or the same doc) is
+    duplicated; every token covered by a duplicated window is cut.
+    Returns for EVERY input doc: (doc_id, n_windows, dup_windows,
+    dup_frac, clean_text) where clean_text re-joins surviving tokens
+    with single spaces (the token-grain contract; byte-level
+    whitespace is not preserved at this grain by design).
+
+    Scale shape: one map-only window-hash pass (text never leaves the
+    scan), one window-grain count on 8-byte keys (partial agg collapses
+    repeats map-side), one window-grain hash join back (duplicated-hash
+    table is a small fraction of the corpus by Lee et al.'s own
+    measurement), one doc-grain position list, and a final map-side
+    rebuild that re-tokenizes locally instead of shuffling token text.
+    No suffix array, no sort of the corpus, no all-pairs. Mirrored
+    exactly by the dedup_substring DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core
+
+    win = _doc_windows(docs, k)
+    dup = (win.groupBy("whash").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= min_count).select("whash"))
+    hits = win.join(dup, "whash").select("doc_id", "pos")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("dup_pos"))
+    joined = (docs.select("doc_id", "text")
+              .join(per_doc, "doc_id", "left"))
+
+    def rebuild(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_windows": [], "dup_windows": [],
+                   "dup_frac": [], "clean_text": []}
+            for doc_id, text, dup_pos in zip(
+                    pdf["doc_id"], pdf["text"], pdf["dup_pos"]):
+                toks = [m.group(0)
+                        for m in core.TOKEN_RE.finditer(text or "")]
+                n_win = max(len(toks) - k + 1, 0)
+                dp = [] if dup_pos is None else sorted(dup_pos)
+                covered = np.zeros(len(toks), dtype=bool)
+                for p in dp:
+                    covered[p - 1:p - 1 + k] = True
+                out["doc_id"].append(doc_id)
+                out["n_windows"].append(n_win)
+                out["dup_windows"].append(len(dp))
+                out["dup_frac"].append(
+                    len(dp) / n_win if n_win > 0 else 0.0)
+                out["clean_text"].append(
+                    " ".join(t for t, c in zip(toks, covered) if not c))
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        rebuild, schema="doc_id long, n_windows int, dup_windows int, "
+                        "dup_frac double, clean_text string")

@@ -170,3 +170,42 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
     plan = (dedup.decontaminate(corpus, bench)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_substring_dedup_cuts_repeated_spans(spark):
+    """A 10-token span shared verbatim by two docs is cut from BOTH
+    (every 8-token window inside it is duplicated); unique text
+    survives; a doc with < 8 tokens has zero windows and keeps all
+    tokens; within-doc repetition also counts as duplication."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = _docs(spark, [
+        (1, f"intro unique alpha {shared} outro beta"),
+        (2, f"other start gamma {shared} tail delta"),
+        (3, "short doc here"),                                 # < k tokens
+        (4, "a b c d e f g h x a b c d e f g h"),             # self-repeat
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dedup(docs, k=8).collect()}
+    # docs 1/2: the shared 10-token run yields 3 duplicated windows each,
+    # covering exactly those 10 tokens; flanks survive
+    assert out[1]["dup_windows"] == 3
+    assert out[1]["clean_text"] == "intro unique alpha outro beta"
+    assert out[2]["clean_text"] == "other start gamma tail delta"
+    # doc 3: no windows at all
+    assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[3]["clean_text"] == "short doc here"
+    # doc 4: 'a b c d e f g h' occurs twice WITHIN the doc -> duplicated
+    assert out[4]["dup_windows"] >= 2
+    assert "a b c d e f g h" not in out[4]["clean_text"]
+
+
+def test_substring_dedup_window_pass_is_map_only(spark):
+    """The window-hash emission must not shuffle text: the only
+    exchanges in the plan carry (doc_id, pos, whash) ints or doc-grain
+    position lists, never 'win'/window strings."""
+    docs = _docs(spark, [(1, "a b c d e f g h i"),
+                         (2, "a b c d e f g h i")])
+    plan = (dedup.substring_dedup(docs, k=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "win" not in plan.lower().replace("window", "").replace(
+        "windows", ""), plan
