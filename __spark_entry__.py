@@ -664,6 +664,23 @@ def q_host_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+BLOCK_WORDS = ("casino", "big big")   # fixture deny-words (one no-op,
+# one ~6%-of-docs hit); the host slice below stands in for the UT1 list
+
+
+def q_blocklist(spark, sf_dir):
+    """UT1-style deny-list gate: a deterministic md5 slice of hosts is
+    'the blocklist' (broadcast), plus lower-cased substring word rules;
+    keep = neither fired."""
+    from filtlong_spark.operators import partitioning as pt
+    d = _docs(spark, sf_dir)
+    blocked = (d.select(F.col("source").alias("host")).distinct()
+               .filter(F.substring(F.md5(F.col("host").cast("binary")), 1, 1)
+                       .isin("0", "1")))
+    return (pt.blocklist_gate(d, blocked, BLOCK_WORDS)
+            .orderBy("doc_id"))
+
+
 HOST_SAMPLE_TARGET = 10   # docs per host the sampler damps toward
 
 
@@ -743,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "host_gate": q_host_gate,
         "host_sample": q_host_sample,
+        "blocklist": q_blocklist,
         "dup_check": q_dup_check,
         "lang_profile": q_lang_profile,
     }
@@ -1990,6 +2008,20 @@ SELECT doc_id, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id"""
+
+    _words_hit = " OR ".join(
+        f"contains(lower(text), '{w.lower()}')" for w in BLOCK_WORDS)
+    sql["blocklist"] = f"""
+WITH blocked AS (
+  SELECT DISTINCT source AS host FROM {DOCS}
+  WHERE substr(md5(source), 1, 1) IN ('0', '1')
+)
+SELECT doc_id, d.source AS host,
+       b.host IS NOT NULL AS blocked_host,
+       ({_words_hit}) AS blocked_word,
+       NOT (b.host IS NOT NULL OR ({_words_hit})) AS keep
+FROM {DOCS} d LEFT JOIN blocked b ON d.source = b.host
+ORDER BY doc_id"""
 
     sql["host_sample"] = f"""
 WITH counts AS (

@@ -36,7 +36,8 @@ BENCH_QUERIES = [
     "simhash", "simhash_pairs", "ann_cosine", "ann_lsh", "ann_ivf",
     "dedup_text_embedding", "lm_quality", "pii_stats", "repetition",
     "events_rollup", "events_sessions", "url_canon", "dedup_url",
-    "split_assign", "host_gate",
+    "split_assign", "host_gate", "host_sample", "decontaminate", "blocklist",
+    "dedup_substring",
 ]
 
 

@@ -195,3 +195,40 @@ def host_temperature_sample(docs: DataFrame, target_per_host: int,
             .select(key_col, "host", "n_host",
                     p_keep.alias("p_keep"),
                     (u01 < p_keep).alias("sampled")))
+
+
+def blocklist_gate(docs: DataFrame, blocked_hosts: DataFrame,
+                   blocked_words: tuple[str, ...] = (),
+                   host_col: str = "source",
+                   text_col: str = "text",
+                   key_col: str = "doc_id") -> DataFrame:
+    """UT1-style blocklist gate — the externally-supplied deny-list
+    stage (Universite Toulouse 1 blacklists in C4/RefinedWeb/FineWeb):
+    a doc is dropped when its host appears in ``blocked_hosts`` (a
+    one-column DataFrame(host)) OR its text contains any of
+    ``blocked_words`` (lower-cased substring match, the word-filter
+    category). Returns (doc_id, host, blocked_host, blocked_word, keep)
+    for EVERY input doc, keep = neither rule fired.
+
+    Scale shape: the deny list is millions of domains vs 10^12 docs, so
+    it broadcasts (UT1 is ~100 MB of hostnames; above the broadcast
+    budget, write_bucketed both sides on host instead — same pattern as
+    refset.py's documented spill path) and the probe is a map-only hash
+    join; the word rules are a Catalyst contains-chain over the text
+    already in the scan — zero shuffle end to end. Mirrored exactly by
+    the blocklist DuckDB oracle."""
+    hosts = (blocked_hosts.select(F.col(blocked_hosts.columns[0])
+                                  .alias("host"))
+             .distinct().withColumn("_blk", F.lit(True)))
+    lowered = F.lower(F.col(text_col))
+    word_hit = F.lit(False)
+    for w in blocked_words:
+        word_hit = word_hit | lowered.contains(w.lower())
+    return (docs.select(key_col, F.col(host_col).alias("host"),
+                        word_hit.alias("blocked_word"))
+            .join(F.broadcast(hosts), "host", "left")
+            .select(key_col, "host",
+                    F.coalesce("_blk", F.lit(False)).alias("blocked_host"),
+                    "blocked_word",
+                    (~(F.coalesce("_blk", F.lit(False))
+                       | F.col("blocked_word"))).alias("keep")))

@@ -156,3 +156,28 @@ def test_host_temperature_sample_damps_hot_host(spark):
     assert first == second
     with pytest.raises(ValueError):
         pt.host_temperature_sample(docs, 10, alpha=0.3)
+
+
+def test_blocklist_gate_rules(spark):
+    """Host rule and word rule fire independently; keep = neither; the
+    deny-list reaches the probe as a broadcast."""
+    docs = spark.createDataFrame(
+        [(1, "clean words here", "good.com"),
+         (2, "clean words here", "evil.com"),          # host rule
+         (3, "win at the CASINO now", "good.com"),     # word rule (case)
+         (4, "casino text", "evil.com")],              # both
+        "doc_id long, text string, source string")
+    blocked = spark.createDataFrame([("evil.com",)], "host string")
+    out = {r["doc_id"]: r for r in
+           pt.blocklist_gate(docs, blocked, ("casino",)).collect()}
+    assert out[1]["keep"] and not out[1]["blocked_host"] \
+        and not out[1]["blocked_word"]
+    assert out[2]["blocked_host"] and not out[2]["blocked_word"] \
+        and not out[2]["keep"]
+    assert out[3]["blocked_word"] and not out[3]["blocked_host"] \
+        and not out[3]["keep"]
+    assert out[4]["blocked_host"] and out[4]["blocked_word"] \
+        and not out[4]["keep"]
+    plan = (pt.blocklist_gate(docs, blocked, ("casino",))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
