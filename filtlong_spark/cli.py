@@ -139,6 +139,12 @@ def build_web_parser() -> argparse.ArgumentParser:
                    metavar="N",
                    help="remove lines occurring in >= N distinct docs "
                         "(CCNet-style boilerplate dedup) before scoring")
+    p.add_argument("--blocklist_hosts", default=None, metavar="H1,H2,...",
+                   help="UT1-style deny list: quarantine docs whose url "
+                        "host is listed (reason 'blocklisted')")
+    p.add_argument("--blocklist_words", default=None, metavar="W1,W2,...",
+                   help="quarantine docs whose text contains any listed "
+                        "word (lower-cased substring match)")
     p.add_argument("--mode", choices=("intrinsic", "refset", "bigram_lm"),
                    default="intrinsic")
     p.add_argument("--ref", default=None,
@@ -176,6 +182,10 @@ def run_web(argv) -> int:
         canonical_url_dedup=a.canonical_url_dedup,
         near_dup_dedup=a.near_dup_dedup,
         line_dedup_min_df=a.line_dedup_min_df,
+        blocklist_hosts=tuple(
+            h for h in (a.blocklist_hosts or "").split(",") if h),
+        blocklist_words=tuple(
+            w for w in (a.blocklist_words or "").split(",") if w),
         mode=a.mode, vocab=frozenset(fx.VOCAB),
         output_ordering=a.output_ordering,
         budget_algorithm="approx")

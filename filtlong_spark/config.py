@@ -122,6 +122,17 @@ class FilterConfig:
     # text is also what survivors emit. None = off; must be >= 2.
     line_dedup_min_df: int | None = None
 
+    # UT1-style deny-list gate (operators/partitioning.blocklist_gate),
+    # run at ingest before any dedup/scoring: docs whose url host is in
+    # blocklist_hosts OR whose text contains a blocklist_words entry
+    # (lower-cased substring) are quarantined with reason 'blocklisted'.
+    # Empty tuples = stage off. At UT1 scale pass the host list via a
+    # DataFrame to run_filter's blocklist_hosts_df instead (broadcast or
+    # bucketed probe); these config tuples are for list sizes a config
+    # object can reasonably carry.
+    blocklist_hosts: tuple = ()
+    blocklist_words: tuple = ()
+
     # bigram_lm distributed path: bigram/unigram entries with corpus count
     # below this are pruned from the model tables before the quality join
     # (bounds the broadcast side at web scale; 1 = exact/no pruning)
@@ -148,7 +159,8 @@ class FilterConfig:
             self.min_window_q, self.target_chars, self.keep_percent,
         )) or self.trim or self.split is not None or self.pii_scrub \
             or self.langid_enabled or self.near_dup_dedup is not None \
-            or self.line_dedup_min_df is not None
+            or self.line_dedup_min_df is not None \
+            or bool(self.blocklist_hosts) or bool(self.blocklist_words)
         if not any_threshold:
             raise ConfigError(
                 "Error: no thresholds set, you must use at least one of the "

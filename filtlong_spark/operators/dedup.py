@@ -150,8 +150,13 @@ def lsh_candidate_pairs(docs: DataFrame, shingle_n: int = 3,
              F.col("bk.band_key").alias("band_key"))
     # the band table is consumed 4x (bucket sizes + both self-join
     # sides): localCheckpoint materializes the Python shingling pass
-    # ONCE (~40 B/doc rows) instead of re-executing it per consumer
-    bands = bands.localCheckpoint(eager=False)
+    # ONCE (~40 B/doc rows) instead of re-executing it per consumer.
+    # MUST be eager: a lazy localCheckpoint fires the query-execution
+    # listener with an empty CollectMetrics accumulator, permanently
+    # poisoning any upstream Observation (pipeline.py's raw-char
+    # counter) with None — eager fires it AFTER the job, with the
+    # correct totals.
+    bands = bands.localCheckpoint(eager=True)
     bands = _cap_buckets(bands, ["band", "band_key"], max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -183,8 +188,9 @@ def jaccard_pairs(docs: DataFrame, shingle_n: int = 5,
     mirrored exactly in the DuckDB oracle."""
     sh = _doc_shingles(docs, shingle_n)
     # consumed 4x (doc-frequency count, sizes, both join sides):
-    # materialize the shingling pass once
-    sh = sh.localCheckpoint(eager=False)
+    # materialize the shingling pass once (eager: see the Observation
+    # note in lsh_candidate_pairs)
+    sh = sh.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         dfreq = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                  .filter(F.col("df") <= max_doc_freq))
@@ -400,7 +406,8 @@ def simhash_band_pairs(fps: DataFrame,
              F.col("bk.key").alias("key"))
     # consumed 4x (bucket sizes + both self-join sides): materialize the
     # fingerprint mapper once instead of re-running it per consumer
-    bands = bands.localCheckpoint(eager=False)
+    # (eager: see the Observation note in lsh_candidate_pairs)
+    bands = bands.localCheckpoint(eager=True)
     bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -299,8 +299,11 @@ def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
     embeddings carry no near-dups — max pairwise cos ~0.51)."""
     bands = lsh_band_keys(emb, n_bands, band_bits, center)
     # consumed 4x (bucket sizes + both join sides): materialize the
-    # numpy banding pass once (~24 B/row) instead of re-running it
-    bands = bands.localCheckpoint(eager=False)
+    # numpy banding pass once (~24 B/row) instead of re-running it.
+    # Eager: a lazy localCheckpoint fires the listener with an empty
+    # CollectMetrics accumulator and would poison any upstream
+    # Observation (see dedup.lsh_candidate_pairs)
+    bands = bands.localCheckpoint(eager=True)
     bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     probes = bands.select(F.col("vec_id").alias("probe_id"), "band", "key")
     if probe_max_id is not None:

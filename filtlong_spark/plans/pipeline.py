@@ -59,6 +59,7 @@ class PipelineResult:
 # applied AFTER the snapshot, so changing them on resume is legal.
 _SNAPSHOT_FIELDS = (
     "canonical_url_dedup", "near_dup_dedup", "line_dedup_min_df",
+    "blocklist_hosts", "blocklist_words",
     "window_size", "trim", "split", "pii_scrub", "mode", "vocab",
     "required_copies", "lm_threshold", "lm_min_count",
     "langid_enabled", "langid_expected",
@@ -107,11 +108,15 @@ def _combine_stats(part_rows) -> dict:
 def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                ref_pages: DataFrame | None = None,
                checkpoint_dir: str | None = None,
-               resume: bool = True) -> PipelineResult:
+               resume: bool = True,
+               blocklist_hosts_df: DataFrame | None = None) -> PipelineResult:
     """Run the full filter. ``checkpoint_dir``: where the scored post-scrub
     set is committed (parquet + lineage.json); pass the same dir again to
     RESUME — a committed run skips ingest+scoring entirely
-    (north_rule: resumable from the last committed snapshot)."""
+    (north_rule: resumable from the last committed snapshot).
+    ``blocklist_hosts_df``: optional one-column DataFrame(host) deny list
+    for the blocklist stage when the list is too large for
+    cfg.blocklist_hosts (UT1 scale); unioned with the config tuple."""
     cfg.validate()
     scratch = checkpoint_dir or output_op.new_scratch_dir()
 
@@ -134,6 +139,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         return dedup_op.line_clean_pages(pages_df, cfg.line_dedup_min_df)
 
     near_dup_dropped = None
+    blocklist_dropped = None
     resumed = resume and output_op.is_committed(os.path.join(scratch, "reads2"))
     if resumed:
         output_op.verify_snapshot_chain(scratch)
@@ -142,6 +148,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         reads2 = spark.read.parquet(os.path.join(scratch, "reads2"))
         total_input_chars = lineage.get("total_input_chars", 0)
         near_dup_dropped = lineage.get("near_dup_dropped")
+        blocklist_dropped = lineage.get("blocklist_dropped")
         # survivors reattach the line-CLEANED text; the near-dup drop
         # set needs no recompute (dropped docs were never scored, so the
         # inner label join below cannot resurrect them)
@@ -162,10 +169,36 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         if ing.valid.rdd.getNumPartitions() < par:
             valid = valid.repartition(par)
 
-        # dedup stages (north_rule pipeline composition; both observe-
+        # dedup stages (north_rule pipeline composition; all observe-
         # downstream, so total_input_chars stays the RAW pre-dedup
         # figure the budget is measured against — the reference's
         # target-vs-raw-input semantics, src/main.cpp:89,228-237):
+        # 0. UT1-style deny-list gate runs FIRST — no dedup/scoring work
+        #    is spent on blocklisted documents
+        if cfg.blocklist_hosts or cfg.blocklist_words \
+                or blocklist_hosts_df is not None:
+            from ..operators import partitioning as part_op
+            hosts_df = spark.createDataFrame(
+                [(h,) for h in cfg.blocklist_hosts], "host string")
+            if blocklist_hosts_df is not None:
+                hosts_df = hosts_df.unionByName(
+                    blocklist_hosts_df.toDF("host"))
+            verdict = part_op.blocklist_gate(
+                valid.withColumn("_bl_host",
+                                 part_op.host_of(F.col("url"))),
+                hosts_df, tuple(cfg.blocklist_words),
+                host_col="_bl_host", key_col="url")
+            # eager: the checkpoint action itself fires the raw-char
+            # Observation with the full-input totals (a lazy one would
+            # permanently poison it with an empty accumulator); the
+            # count after it is a cheap cached-RDD count
+            blocked_urls = (verdict.filter(~F.col("keep")).select("url")
+                            .localCheckpoint(eager=True))
+            blocklist_dropped = blocked_urls.count()
+            quarantine = quarantine.unionByName(
+                ing.valid.join(blocked_urls, "url")
+                .withColumn("reason", F.lit("blocklisted")))
+            valid = valid.join(blocked_urls, "url", "left_anti")
         # 1. line-level boilerplate removal rewrites text
         valid = _line_clean(valid)
         # 2. near-dup dedup quarantines whole documents before scoring
@@ -174,9 +207,10 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
             nd = dedup_op.near_dup_url_labels(valid, cfg.near_dup_dedup)
             # the verdict table is url+bool — tiny next to the corpus —
             # and is consumed twice (quarantine + anti-join): pin it so
-            # the banded-LSH pass runs once
+            # the banded-LSH pass runs once (eager, for the same
+            # Observation-poisoning reason as the blocklist stage)
             dup_urls = (nd.filter(F.col("is_dup")).select("url")
-                        .localCheckpoint(eager=False))
+                        .localCheckpoint(eager=True))
             near_dup_dropped = dup_urls.count()
             quarantine = quarantine.unionByName(
                 ing.valid.join(dup_urls, "url").withColumn(
@@ -267,6 +301,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         # near-dup quarantine lineage counter (None when the stage is
         # off; on resume, read back from the committed lineage)
         "near_dup_dropped": near_dup_dropped,
+        "blocklist_dropped": blocklist_dropped,
         "config": {k: (list(v) if isinstance(v, frozenset) else v)
                    for k, v in cfg.__dict__.items()},
     }

@@ -103,6 +103,10 @@ def test_near_dup_stage_quarantines_group(spark, method):
     assert len(q) == 2
     assert set(q.values()) == {f"near_duplicate_{method}"}
     assert res.metrics["near_dup_dropped"] == 2
+    # budget base stays the RAW pre-dedup char count — regression for
+    # the lazy-localCheckpoint Observation poisoning (a lazy checkpoint
+    # inside the LSH pass used to zero this silently)
+    assert res.total_input_chars == sum(len(t) for *_, t in rows)
     # the survivor choice is deterministic (min 60-bit url key)
     res2 = run_filter(spark, _pages(spark, rows),
                       _cfg(near_dup_dedup=method))
@@ -170,3 +174,50 @@ def test_web_cli_dedup_flags(capsys, spark, tmp_path):
     dup_survivors = [r for r in spark.read.parquet(out).collect()
                      if "dup.ex.com" in r["url"]]
     assert len(dup_survivors) == 1
+
+
+def test_blocklist_stage_quarantines_hosts_and_words(spark):
+    """cfg.blocklist_hosts/_words: docs on a deny-listed host or carrying
+    a deny-listed word quarantine with reason 'blocklisted' before any
+    scoring; the lineage counter records the drop; budget base stays the
+    RAW pre-gate char count."""
+    rows = _corpus(with_boiler=False)
+    # h1.ex.com hosts docs i = 1, 4, 7, 10 (i % 3 == 1) -> 4 docs;
+    # plant one word hit in a doc on a clean host
+    rows.append(("https://h0.ex.com/spamdoc", "2024-01-03T00:00:00", "en",
+                 "AAAA CCCC GGGG TTTT forbiddenword "
+                 + " ".join(f"z{j}" for j in range(40))))
+    res = run_filter(spark, _pages(spark, rows),
+                     _cfg(blocklist_hosts=("h1.ex.com",),
+                          blocklist_words=("FORBIDDENword",)))
+    kept_urls = {r["url"] for r in res.kept.collect()}
+    assert not any("h1.ex.com" in u for u in kept_urls)
+    assert "https://h0.ex.com/spamdoc" not in kept_urls
+    q = {r["url"]: r["reason"] for r in res.quarantine.collect()}
+    assert set(q.values()) == {"blocklisted"}
+    assert len(q) == 5 and res.metrics["blocklist_dropped"] == 5
+    assert res.total_input_chars == sum(len(t) for *_, t in rows)
+    # large-list path: the same deny list via blocklist_hosts_df
+    hosts_df = spark.createDataFrame([("h1.ex.com",)], "host string")
+    res2 = run_filter(spark, _pages(spark, rows),
+                      _cfg(blocklist_words=("forbiddenword",)),
+                      blocklist_hosts_df=hosts_df)
+    assert {r["url"] for r in res2.kept.collect()} == kept_urls
+    assert res2.metrics["blocklist_dropped"] == 5
+
+
+def test_blocklist_stage_resume_restores_counter(spark, tmp_path):
+    rows = _corpus(with_boiler=False)
+    ck = str(tmp_path / "ck")
+    cfg = _cfg(blocklist_hosts=("h2.ex.com",))
+    r1 = run_filter(spark, _pages(spark, rows), cfg, checkpoint_dir=ck)
+    k1 = {r["url"] for r in r1.kept.collect()}
+    assert r1.metrics["blocklist_dropped"] == 4 and not r1.resumed
+    r2 = run_filter(spark, _pages(spark, rows), cfg, checkpoint_dir=ck)
+    assert r2.resumed
+    assert {r["url"] for r in r2.kept.collect()} == k1
+    assert r2.metrics["blocklist_dropped"] == 4
+    # a different deny list must refuse to resume the stale snapshot
+    with pytest.raises(ConfigError):
+        run_filter(spark, _pages(spark, rows),
+                   _cfg(blocklist_hosts=("h0.ex.com",)), checkpoint_dir=ck)
