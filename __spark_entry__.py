@@ -253,6 +253,16 @@ def q_repetition(spark, sf_dir):
     return ts.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_repetition_ngrams(spark, sf_dir):
+    """The character-grain half of Gopher's repetition table: most
+    frequent 3-gram's char share + chars covered by repeated 5-grams
+    beyond their first occurrence. Deterministic tie-break (count desc,
+    gram asc), all-integer counts, single same-order divide -> DuckDB
+    bit-identical."""
+    return (ts.ngram_repetition_stats(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex pieces."""
     d = _docs(spark, sf_dir)
@@ -651,6 +661,31 @@ def q_split_assign(spark, sf_dir):
     return sampling.split_assign(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail bucketing: within each language,
+    rank docs by quality (here the exact token-quality ratio standing
+    in for negated LM perplexity — at production scale plug in
+    lm_quality's lm_mean_q) and ntile(3) the ranking. Total order
+    (score desc, doc_id) makes the assignment deterministic and
+    engine-identical; the approx (percentile-threshold, no-sort) path
+    is exercised by pytest."""
+    from filtlong_spark.operators import sampling
+    from filtlong_spark.functions import textstats as ts
+    d = _docs(spark, sf_dir)
+    # explode + conditional agg (codegen'd), NOT an interpreted array
+    # HOF — see the textstats module docstring's physical-design note
+    stats = ts.token_stats(d, VOCAB)
+    scored = (d.select("doc_id", "lang")
+              .join(stats, "doc_id", "left")
+              .select("doc_id", "lang",
+                      F.when(F.col("n_tokens") > 0,
+                             100.0 * F.col("good_tokens").cast("double")
+                             / F.col("n_tokens"))
+                      .otherwise(F.lit(0.0)).alias("q")))
+    return (sampling.quality_buckets(scored, "q", lang_col="lang")
+            .orderBy("doc_id"))
+
+
 HOST_GATE_MIN_Q = 99.9
 
 
@@ -731,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality_heuristics": q_quality_heuristics,
         "repetition": q_repetition,
+        "repetition_ngrams": q_repetition_ngrams,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -758,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "dedup_url": q_dedup_url,
         "split_assign": q_split_assign,
+        "ppl_buckets": q_ppl_buckets,
         "host_gate": q_host_gate,
         "host_sample": q_host_sample,
         "blocklist": q_blocklist,
@@ -1091,6 +1128,45 @@ SELECT d.doc_id,
             ELSE 0.0
        END AS dup_token_frac
 FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
+    sql["repetition_ngrams"] = f"""
+WITH d AS (SELECT doc_id, length(text) AS n_chars, {TOKENS_SQL} AS toks
+           FROM {DOCS}),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 0)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM d
+),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+m3 AS (SELECT doc_id, max(c) AS mc FROM c3 GROUP BY doc_id),
+t3 AS (
+  SELECT c3.doc_id, min(gram) AS top_gram, max(c) AS top_c
+  FROM c3 JOIN m3 ON c3.doc_id = m3.doc_id AND c3.c = m3.mc
+  GROUP BY c3.doc_id
+),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks) - 4, 0)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+         || toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM d
+),
+c5 AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY doc_id, gram),
+d5 AS (
+  SELECT doc_id, sum((c - 1) * length(gram))::BIGINT AS dup_chars
+  FROM c5 WHERE c >= 2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t3.top_gram, '') AS top_gram,
+       CASE WHEN t3.top_c IS NOT NULL AND d.n_chars > 0
+            THEN 100.0 * t3.top_c * length(t3.top_gram) / d.n_chars
+            ELSE 0.0 END AS top_3gram_pct,
+       CASE WHEN d5.dup_chars IS NOT NULL AND d.n_chars > 0
+            THEN 100.0 * d5.dup_chars / d.n_chars
+            ELSE 0.0 END AS dup_5gram_pct
+FROM d LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+ORDER BY doc_id"""
 
     sql["token_count"] = f"""
 SELECT doc_id, len({TOKENS_SQL}) AS n_tokens,
@@ -2007,6 +2083,27 @@ SELECT doc_id, bucket,
        CASE WHEN bucket < 90 THEN 'train'
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
+FROM b ORDER BY doc_id"""
+
+    sql["ppl_buckets"] = f"""
+WITH per AS (
+  SELECT doc_id, lang,
+         CASE WHEN len({TOKENS_SQL}) > 0
+              THEN 100.0 * len(list_filter({TOKENS_SQL},
+                                           t -> t IN ({VOCAB_SQL})))
+                   / len({TOKENS_SQL})
+              ELSE 0.0 END AS score
+  FROM {DOCS}
+),
+b AS (
+  SELECT doc_id, lang, score,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY score DESC, doc_id) AS bucket
+  FROM per
+)
+SELECT doc_id, lang, score, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS label
 FROM b ORDER BY doc_id"""
 
     _words_hit = " OR ".join(

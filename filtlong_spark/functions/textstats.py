@@ -128,6 +128,76 @@ def repetition_stats(docs: DataFrame, key: str = "doc_id") -> DataFrame:
                     .alias("dup_token_frac")))
 
 
+def _ngram_col(n: int) -> Column:
+    """Space-joined token n-grams as one array column, built from
+    arrays_zip over n shifted slices — the same pure-codegen idiom as
+    repetition_stats (no interpreted HOF, no window shuffle)."""
+    toks = tokens_col()
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    return zipped
+
+
+def _gram_string(n: int) -> Column:
+    return F.concat_ws(" ", *[F.col("bg")[str(i)] for i in range(n)])
+
+
+def ngram_repetition_stats(docs: DataFrame, key: str = "doc_id",
+                           top_n: int = 3, dup_n: int = 5) -> DataFrame:
+    """The character-grain half of Gopher's repetition table (Rae et al.
+    2021 §A1.2; repetition_stats covers the token-grain half):
+
+    - ``top_{top_n}gram_pct``: characters of the single most frequent
+      token ``top_n``-gram (count x its char length, spaces included) as
+      a percentage of the doc's chars. Tie-break: highest count, then
+      lexicographically smallest gram — a total order, so the chosen
+      gram (returned as ``top_gram``) is deterministic and
+      engine-identical.
+    - ``dup_{dup_n}gram_pct``: characters covered by REPEATED
+      ``dup_n``-grams beyond their first occurrence
+      (sum over grams with count >= 2 of (count-1) x char length),
+      as a percentage of doc chars — the overlap-insensitive rendering
+      of Gopher's duplicate-n-gram character fraction.
+
+    Scale shape: two explodes to (doc, gram) grain + hash aggregates
+    (map-side partial combine on the compound key), a doc-grain max and
+    a doc-grain sum, then a left join back to the doc list — no windows,
+    no driver state. All-integer counts; the single divide per ratio
+    happens in the same order in the DuckDB oracle, so values are
+    bit-identical."""
+    n_chars = F.length("text").alias("n_chars")
+    base = docs.select(key, n_chars)
+
+    gt = docs.select(key, F.explode(_ngram_col(top_n)).alias("bg"))
+    ct = (gt.select(key, _gram_string(top_n).alias("gram"))
+          .groupBy(key, "gram").agg(F.count("*").alias("c")))
+    mt = ct.groupBy(key).agg(F.max("c").alias("mc"))
+    topg = (ct.join(mt, key).filter(F.col("c") == F.col("mc"))
+            .groupBy(key).agg(F.min("gram").alias("top_gram"),
+                              F.max("c").alias("top_c")))
+
+    gd = docs.select(key, F.explode(_ngram_col(dup_n)).alias("bg"))
+    cd = (gd.select(key, _gram_string(dup_n).alias("gram"))
+          .groupBy(key, "gram").agg(F.count("*").alias("c")))
+    dup = (cd.filter(F.col("c") >= 2)
+           .groupBy(key)
+           .agg(F.sum((F.col("c") - 1) * F.length("gram").cast("long"))
+                .alias("dup_chars")))
+
+    return (base.join(topg, key, "left").join(dup, key, "left")
+            .select(
+                key,
+                F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+                F.when(F.col("top_c").isNotNull() & (F.col("n_chars") > 0),
+                       (100.0 * F.col("top_c") * F.length("top_gram"))
+                       / F.col("n_chars"))
+                .otherwise(F.lit(0.0)).alias(f"top_{top_n}gram_pct"),
+                F.when(F.col("dup_chars").isNotNull()
+                       & (F.col("n_chars") > 0),
+                       (100.0 * F.col("dup_chars")) / F.col("n_chars"))
+                .otherwise(F.lit(0.0)).alias(f"dup_{dup_n}gram_pct")))
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -32,3 +32,68 @@ def split_assign(docs: DataFrame, key: str = "doc_id",
              .when(bucket < train_pct + val_pct, F.lit("val"))
              .otherwise(F.lit("test")))
     return docs.select(key, bucket.alias("bucket"), split.alias("split"))
+
+
+DEFAULT_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def quality_buckets(docs: DataFrame, score_col: str,
+                    lang_col: str = "lang", key: str = "doc_id",
+                    n_buckets: int = 3,
+                    labels: tuple[str, ...] = DEFAULT_BUCKET_LABELS,
+                    algorithm: str = "exact") -> DataFrame:
+    """CCNet-style per-language quality bucketing: within each language,
+    rank documents by ``score_col`` (higher = better — pass a NEGATED
+    perplexity or any quality score) and cut the ranking into
+    ``n_buckets`` equal-count buckets. Bucket 1 ("head") is the best
+    slice, the last ("tail") the worst — the head/middle/tail split
+    CCNet uses to stratify Common-Crawl by LM perplexity so downstream
+    sampling can weight clean text up without discarding the tail.
+
+    Two algorithms, same output columns (key, lang, score, bucket,
+    label):
+
+    - ``exact``: ``ntile(n)`` over a window partitioned by language,
+      ordered by (score desc, key) — a TOTAL order, so the assignment
+      is deterministic and identical in Spark and DuckDB (ANSI ntile:
+      the first ``rows % n`` buckets take the extra row). This is
+      CCNet's own per-language sort; each language sorts independently
+      across the cluster, so the shuffle is bounded by the largest
+      single language, not the corpus.
+    - ``approx``: per-language ``percentile_approx`` thresholds
+      (one tiny lang-grain aggregate, broadcast back, map-only
+      compare) — no global sort at all, the right plan at 10^12 docs
+      where equal-count exactness is not worth a per-language sort.
+      Boundary docs may land one bucket off their exact rank; counts
+      are approximately equal. Same keep-everything contract.
+    """
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    score = F.col(score_col).cast("double")
+    base = docs.select(F.col(key), F.col(lang_col).alias("lang"),
+                       score.alias("score"))
+    if algorithm == "exact":
+        from pyspark.sql import Window
+        w = (Window.partitionBy("lang")
+             .orderBy(F.desc("score"), F.col(key)))
+        out = base.withColumn("bucket", F.ntile(n_buckets).over(w))
+    elif algorithm == "approx":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        # descending cutpoints: bucket b = docs with score in
+        # (cut[b], cut[b-1]]; percentile_approx on the NEGATED score
+        # gives the descending quantiles directly
+        cuts = (base.groupBy("lang")
+                .agg(F.percentile_approx(-F.col("score"), qs, 10_000)
+                     .alias("cuts")))
+        out = base.join(F.broadcast(cuts), "lang")
+        bucket = F.lit(n_buckets)
+        for i in range(n_buckets - 1, 0, -1):
+            bucket = F.when(-F.col("score") <= F.col("cuts")[i - 1],
+                            F.lit(i)).otherwise(bucket)
+        out = out.withColumn("bucket", bucket).drop("cuts")
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    label = F.element_at(F.array(*[F.lit(x) for x in labels]),
+                         F.col("bucket"))
+    return out.select(key, "lang", "score", "bucket",
+                      label.alias("label"))

@@ -155,3 +155,55 @@ def test_canonical_url_idempotent_property(spark):
     twice = once.select(weburl.canonical_url_col(F.col("u")).alias("u"))
     assert [r["u"] for r in once.collect()] == \
         [r["u"] for r in twice.collect()]
+
+
+def test_quality_buckets_exact_equal_counts_and_labels(spark):
+    """CCNet head/middle/tail: exact ntile gives per-language bucket
+    counts differing by at most 1, head holds the best scores, and the
+    assignment is a pure function of (score, key) — stable across
+    repartitioning."""
+    rows = [(f"d{i:03d}", "en" if i % 3 else "de", float((i * 37) % 101))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, q double")
+    out = sampling.quality_buckets(docs, "q").collect()
+    assert len(out) == 100
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        counts = [sum(1 for r in rs if r["bucket"] == b) for b in (1, 2, 3)]
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+        # every head score >= every tail score
+        head = [r["score"] for r in rs if r["label"] == "head"]
+        tail = [r["score"] for r in rs if r["label"] == "tail"]
+        assert min(head) >= max(tail)
+    assert {r["label"] for r in out} == {"head", "middle", "tail"}
+    # stability under a different physical layout
+    out2 = sampling.quality_buckets(docs.repartition(7), "q").collect()
+    assert {(r["doc_id"], r["bucket"]) for r in out} == \
+        {(r["doc_id"], r["bucket"]) for r in out2}
+
+
+def test_quality_buckets_approx_matches_exact_on_separated_scores(spark):
+    """The no-sort percentile-threshold path agrees with exact ntile
+    when scores are well separated (the only divergence allowed is at
+    quantile boundaries), and keeps every doc."""
+    rows = [(f"d{i:03d}", "en", float(i)) for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, q double")
+    exact = {r["doc_id"]: r["bucket"]
+             for r in sampling.quality_buckets(docs, "q").collect()}
+    approx = {r["doc_id"]: r["bucket"]
+              for r in sampling.quality_buckets(
+                  docs, "q", algorithm="approx").collect()}
+    assert set(approx) == set(exact)
+    off = [d for d in exact if exact[d] != approx[d]]
+    assert len(off) <= 2, off  # boundary docs only
+
+
+def test_quality_buckets_validation(spark):
+    docs = spark.createDataFrame([("a", "en", 1.0)],
+                                 "doc_id string, lang string, q double")
+    with pytest.raises(ValueError):
+        sampling.quality_buckets(docs, "q", labels=("only",))
+    with pytest.raises(ValueError):
+        sampling.quality_buckets(docs, "q", algorithm="nope")
