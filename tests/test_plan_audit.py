@@ -57,3 +57,31 @@ def test_lm_paint_joins_are_broadcast(spark):
     tabs.release()
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_buckets_approx_plan_has_no_sort(spark):
+    """The approx (web-scale) bucket path must be: one lang-grain
+    aggregate -> BROADCAST join of the tiny cutpoint table -> map-only
+    compare. A Window or a per-language sort in this plan means the
+    'no global sort' promise silently regressed to the exact path."""
+    from filtlong_spark.operators import sampling
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en", float(i)) for i in range(50)],
+        "doc_id string, lang string, q double")
+    out = sampling.quality_buckets(docs, "q", algorithm="approx")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_buckets_exact_plan_single_window(spark):
+    """The exact path is ntile over ONE window (partitioned by lang) —
+    no second shuffle, no join."""
+    from filtlong_spark.operators import sampling
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en", float(i)) for i in range(50)],
+        "doc_id string, lang string, q double")
+    out = sampling.quality_buckets(docs, "q")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
