@@ -246,6 +246,17 @@ def q_quality_heuristics(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q_clf_score(spark, sf_dir):
+    """Model-based quality classifier (the fastText/DCLM-classifier
+    slot): linear logit over five per-doc features with checked-in
+    coefficients (offline-trained weights fold into the plan as
+    literals; operators/classifier.py documents the swap-in). Every doc
+    scored — guarded divides, left join."""
+    from filtlong_spark.operators import classifier as clf
+    return (clf.quality_classifier(_docs(spark, sf_dir), VOCAB)
+            .orderBy("doc_id"))
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition signals: top-bigram token fraction + duplicate
     token fraction. Bigrams via arrays_zip(slice, slice) — codegen array
@@ -767,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_heuristics": q_quality_heuristics,
         "repetition": q_repetition,
         "repetition_ngrams": q_repetition_ngrams,
+        "clf_score": q_clf_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1101,6 +1113,46 @@ SELECT doc_id, n_tokens,
          AND sum_len::DOUBLE / n_tokens <= 12.0
          AND symbols::DOUBLE / n_chars <= 0.1 AS gopher_keep
 FROM s ORDER BY doc_id"""
+
+    # weights literal-mirror operators/classifier.DEFAULT_WEIGHTS; the
+    # logit chain is the same left-associative multiply-add order as
+    # quality_classifier, so doubles are bit-identical
+    sql["clf_score"] = f"""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len({TOKENS_SQL}) AS n_tokens,
+         coalesce(list_reduce(list_prepend(0::BIGINT,
+           list_transform({TOKENS_SQL}, t -> len(t)::BIGINT)),
+           (a, b) -> a + b), 0) AS sum_len,
+         len(list_filter({TOKENS_SQL}, t -> t IN ({_STOP_SQL}))) AS stop,
+         len(list_filter({TOKENS_SQL}, t -> t IN ({VOCAB_SQL}))) AS good,
+         len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS symbols,
+         len(list_distinct({TOKENS_SQL})) AS n_distinct
+  FROM {DOCS}
+),
+f AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens > 0 THEN sum_len::DOUBLE / n_tokens
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_tokens > 0 THEN stop::DOUBLE / n_tokens
+         ELSE 0.0 END AS stopword_frac,
+    CASE WHEN n_tokens > 0 THEN good::DOUBLE / n_tokens
+         ELSE 0.0 END AS vocab_frac,
+    CASE WHEN n_chars > 0 THEN symbols::DOUBLE / n_chars
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN n_tokens > 0 THEN 1.0 - n_distinct::DOUBLE / n_tokens
+         ELSE 0.0 END AS dup_frac
+  FROM s
+)
+SELECT doc_id, mean_word_len, stopword_frac, vocab_frac, symbol_ratio,
+       dup_frac,
+       -3.0 + 0.25 * mean_word_len + 2.0 * stopword_frac
+            + 4.0 * vocab_frac + -5.0 * symbol_ratio
+            + -2.0 * dup_frac AS clf_score,
+       -3.0 + 0.25 * mean_word_len + 2.0 * stopword_frac
+            + 4.0 * vocab_frac + -5.0 * symbol_ratio
+            + -2.0 * dup_frac >= 0.0 AS keep
+FROM f ORDER BY doc_id"""
 
     # bigram key joined with ' ' — tokens are \\S+ runs, so a space can
     # never appear inside one and the string key equals the Spark struct

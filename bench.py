@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "dedup_text_embedding", "lm_quality", "pii_stats", "repetition",
     "events_rollup", "events_sessions", "url_canon", "dedup_url",
     "split_assign", "host_gate", "host_sample", "decontaminate", "blocklist",
-    "dedup_substring", "ppl_buckets", "repetition_ngrams",
+    "dedup_substring", "ppl_buckets", "repetition_ngrams", "clf_score",
 ]
 
 
