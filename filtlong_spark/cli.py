@@ -145,6 +145,15 @@ def build_web_parser() -> argparse.ArgumentParser:
     p.add_argument("--blocklist_words", default=None, metavar="W1,W2,...",
                    help="quarantine docs whose text contains any listed "
                         "word (lower-cased substring match)")
+    p.add_argument("--clf_threshold", type=float, default=None,
+                   metavar="T",
+                   help="model-based quality gate: quarantine docs whose "
+                        "classifier logit is < T (reason "
+                        "'classifier_rejected'); run after dedup")
+    p.add_argument("--clf_weights", default=None, metavar="B,W1,..,W5",
+                   help="6 comma-separated classifier coefficients "
+                        "(bias + FEATURES order, e.g. from an offline "
+                        "fit_weights run); default: built-in weights")
     p.add_argument("--mode", choices=("intrinsic", "refset", "bigram_lm"),
                    default="intrinsic")
     p.add_argument("--ref", default=None,
@@ -186,6 +195,9 @@ def run_web(argv) -> int:
             h for h in (a.blocklist_hosts or "").split(",") if h),
         blocklist_words=tuple(
             w for w in (a.blocklist_words or "").split(",") if w),
+        clf_threshold=a.clf_threshold,
+        clf_weights=tuple(
+            float(x) for x in (a.clf_weights or "").split(",") if x),
         mode=a.mode, vocab=frozenset(fx.VOCAB),
         output_ordering=a.output_ordering,
         budget_algorithm="approx")

@@ -133,6 +133,16 @@ class FilterConfig:
     blocklist_hosts: tuple = ()
     blocklist_words: tuple = ()
 
+    # model-based quality gate (operators/classifier.quality_classifier,
+    # the DCLM/fastText-classifier slot), run AFTER dedup and BEFORE
+    # scoring: docs whose linear logit falls below this threshold are
+    # quarantined with reason 'classifier_rejected'. None = stage off.
+    # clf_weights: optional 6-tuple (bias + the 5 FEATURES coefficients,
+    # e.g. from classifier.fit_weights run offline); empty = the
+    # checked-in DEFAULT_WEIGHTS.
+    clf_threshold: float | None = None
+    clf_weights: tuple = ()
+
     # bigram_lm distributed path: bigram/unigram entries with corpus count
     # below this are pruned from the model tables before the quality join
     # (bounds the broadcast side at web scale; 1 = exact/no pruning)
@@ -160,7 +170,8 @@ class FilterConfig:
         )) or self.trim or self.split is not None or self.pii_scrub \
             or self.langid_enabled or self.near_dup_dedup is not None \
             or self.line_dedup_min_df is not None \
-            or bool(self.blocklist_hosts) or bool(self.blocklist_words)
+            or bool(self.blocklist_hosts) or bool(self.blocklist_words) \
+            or self.clf_threshold is not None
         if not any_threshold:
             raise ConfigError(
                 "Error: no thresholds set, you must use at least one of the "
@@ -198,6 +209,14 @@ class FilterConfig:
             raise ConfigError(f"Error: unknown mode {self.mode!r}")
         if self.budget_algorithm not in ("exact", "approx"):
             raise ConfigError(f"Error: unknown budget_algorithm {self.budget_algorithm!r}")
+        if self.clf_weights and len(self.clf_weights) != 6:
+            raise ConfigError(
+                "Error: clf_weights must be 6 values (bias + 5 feature "
+                "coefficients in classifier.FEATURES order)")
+        if self.clf_threshold is not None and not self.vocab:
+            raise ConfigError(
+                "Error: the classifier gate requires a vocabulary "
+                "(its vocab_frac feature)")
         if self.output_ordering not in ("global", "partitioned"):
             raise ConfigError(f"Error: unknown output_ordering {self.output_ordering!r}")
         if self.lm_min_count < 1:

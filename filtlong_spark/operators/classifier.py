@@ -68,7 +68,7 @@ def classifier_features(docs: DataFrame, vocab,
     """(key, mean_word_len, stopword_frac, vocab_frac, symbol_ratio,
     dup_frac) for EVERY input doc — left join + guarded divides, so
     token-less docs score rather than vanish."""
-    st = ts.token_stats(docs, vocab)
+    st = ts.token_stats(docs, vocab, key)
     base = docs.select(key, F.length("text").alias("n_chars"),
                        ts.symbol_count_col().alias("symbols"))
     j = base.join(st, key, "left").na.fill(
@@ -101,6 +101,17 @@ def quality_classifier(docs: DataFrame, vocab,
     return (feats
             .withColumn("clf_score", logit)
             .withColumn("keep", F.col("clf_score") >= F.lit(threshold)))
+
+
+def weights_from_tuple(t) -> dict:
+    """(bias, w_mean_word_len, ..., w_dup_frac) in FEATURES order — the
+    flat form FilterConfig.clf_weights carries — back to a dict."""
+    vals = tuple(float(x) for x in t)
+    if len(vals) != len(FEATURES) + 1:
+        raise ValueError(f"need {len(FEATURES) + 1} weights, got {len(vals)}")
+    out = {"bias": vals[0]}
+    out.update(dict(zip(FEATURES, vals[1:])))
+    return out
 
 
 def fit_weights(features_rows, labels) -> dict:

@@ -60,6 +60,7 @@ class PipelineResult:
 _SNAPSHOT_FIELDS = (
     "canonical_url_dedup", "near_dup_dedup", "line_dedup_min_df",
     "blocklist_hosts", "blocklist_words",
+    "clf_threshold", "clf_weights",
     "window_size", "trim", "split", "pii_scrub", "mode", "vocab",
     "required_copies", "lm_threshold", "lm_min_count",
     "langid_enabled", "langid_expected",
@@ -140,6 +141,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
 
     near_dup_dropped = None
     blocklist_dropped = None
+    clf_dropped = None
     resumed = resume and output_op.is_committed(os.path.join(scratch, "reads2"))
     if resumed:
         output_op.verify_snapshot_chain(scratch)
@@ -149,6 +151,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         total_input_chars = lineage.get("total_input_chars", 0)
         near_dup_dropped = lineage.get("near_dup_dropped")
         blocklist_dropped = lineage.get("blocklist_dropped")
+        clf_dropped = lineage.get("clf_dropped")
         # survivors reattach the line-CLEANED text; the near-dup drop
         # set needs no recompute (dropped docs were never scored, so the
         # inner label join below cannot resurrect them)
@@ -217,6 +220,26 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
                     "reason",
                     F.lit(f"near_duplicate_{cfg.near_dup_dedup}")))
             valid = valid.join(dup_urls, "url", "left_anti")
+        # 3. model-based quality gate (DCLM order: dedup -> classifier):
+        #    linear logit over guarded-ratio features, weights folded
+        #    into the plan as literals — one explode + hash agg + doc-
+        #    grain join, no broadcast variable, no Python stage
+        if cfg.clf_threshold is not None:
+            from ..operators import classifier as clf_op
+            w = (clf_op.weights_from_tuple(cfg.clf_weights)
+                 if cfg.clf_weights else None)
+            verdict = clf_op.quality_classifier(
+                valid, sorted(cfg.vocab), weights=w,
+                threshold=cfg.clf_threshold, key="url")
+            # eager, for the same Observation-poisoning reason as the
+            # blocklist stage above
+            rejected = (verdict.filter(~F.col("keep")).select("url")
+                        .localCheckpoint(eager=True))
+            clf_dropped = rejected.count()
+            quarantine = quarantine.unionByName(
+                ing.valid.join(rejected, "url")
+                .withColumn("reason", F.lit("classifier_rejected")))
+            valid = valid.join(rejected, "url", "left_anti")
 
         lm_strategy, lm_tables = None, None
         if cfg.mode == "bigram_lm":
@@ -302,6 +325,7 @@ def run_filter(spark: SparkSession, pages: DataFrame, cfg: FilterConfig,
         # off; on resume, read back from the committed lineage)
         "near_dup_dropped": near_dup_dropped,
         "blocklist_dropped": blocklist_dropped,
+        "clf_dropped": clf_dropped,
         "config": {k: (list(v) if isinstance(v, frozenset) else v)
                    for k, v in cfg.__dict__.items()},
     }

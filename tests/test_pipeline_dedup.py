@@ -221,3 +221,57 @@ def test_blocklist_stage_resume_restores_counter(spark, tmp_path):
     with pytest.raises(ConfigError):
         run_filter(spark, _pages(spark, rows),
                    _cfg(blocklist_hosts=("h0.ex.com",)), checkpoint_dir=ck)
+
+
+def test_clf_gate_quarantines_low_logit_docs(spark):
+    """cfg.clf_threshold: the model-based gate (DCLM order: after dedup,
+    before scoring) quarantines docs whose classifier logit is below
+    threshold with reason 'classifier_rejected'; the expected set is
+    derived by running the standalone operator on the same pages, so
+    the test asserts pipeline COMPOSITION, not re-derived constants."""
+    from filtlong_spark.operators import classifier as clf
+    rows = _corpus(with_boiler=False)
+    rows.append(("https://h0.ex.com/junk", "2024-01-03T00:00:00", "en",
+                 "$$$$ %%%% ^^^^ &&&& " * 10))
+    pages = _pages(spark, rows)
+    thr = -2.0
+    expected = {
+        r["url"] for r in clf.quality_classifier(
+            pages, sorted(VOCAB), threshold=thr, key="url").collect()
+        if not r["keep"]}
+    assert "https://h0.ex.com/junk" in expected
+    assert len(expected) < len(rows)  # the gate separates, not nukes
+    res = run_filter(spark, pages, _cfg(clf_threshold=thr))
+    q = {r["url"]: r["reason"] for r in res.quarantine.collect()}
+    assert set(q) == expected
+    assert set(q.values()) == {"classifier_rejected"}
+    assert res.metrics["clf_dropped"] == len(expected)
+    assert not (expected & {r["url"] for r in res.kept.collect()})
+    # budget base stays the RAW pre-gate char count
+    assert res.total_input_chars == sum(len(t) for *_, t in rows)
+
+
+def test_clf_gate_custom_weights_and_resume(spark, tmp_path):
+    """clf_weights round-trips through config -> pipeline -> lineage;
+    resume restores the counter; a changed threshold refuses the stale
+    snapshot."""
+    rows = _corpus(with_boiler=False)
+    rows.append(("https://h0.ex.com/junk", "2024-01-03T00:00:00", "en",
+                 "$$$$ %%%% ^^^^ &&&& " * 10))
+    ck = str(tmp_path / "ck")
+    # weights that ONLY punish symbol soup: bias 1, all zero except
+    # symbol_ratio -10 -> junk logit 1 - 10*~0.75 < 0, others ~1 > 0
+    w = (1.0, 0.0, 0.0, 0.0, -10.0, 0.0)
+    cfg = _cfg(clf_threshold=0.0, clf_weights=w)
+    r1 = run_filter(spark, _pages(spark, rows), cfg, checkpoint_dir=ck)
+    assert r1.metrics["clf_dropped"] == 1
+    q = {r["url"]: r["reason"] for r in r1.quarantine.collect()}
+    assert q == {"https://h0.ex.com/junk": "classifier_rejected"}
+    r2 = run_filter(spark, _pages(spark, rows), cfg, checkpoint_dir=ck)
+    assert r2.resumed and r2.metrics["clf_dropped"] == 1
+    assert {x["url"] for x in r2.kept.collect()} == \
+        {x["url"] for x in r1.kept.collect()}
+    with pytest.raises(ConfigError):
+        run_filter(spark, _pages(spark, rows),
+                   _cfg(clf_threshold=-5.0, clf_weights=w),
+                   checkpoint_dir=ck)
