@@ -697,6 +697,20 @@ def q_ppl_buckets(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+PACK_CAPACITY = 2048
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: per language, docs
+    laid end-to-end in doc_id order, token stream cut into 2048-token
+    training sequences (straddling docs split across neighbors). One
+    window running-sum partitioned by language — each group packs
+    independently, the production sharding shape. All-integer."""
+    from filtlong_spark.operators import sampling
+    return (sampling.pack_sequences(_docs(spark, sf_dir), PACK_CAPACITY)
+            .orderBy("doc_id"))
+
+
 HOST_GATE_MIN_Q = 99.9
 
 
@@ -807,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "split_assign": q_split_assign,
         "ppl_buckets": q_ppl_buckets,
+        "pack_sequences": q_pack_sequences,
         "host_gate": q_host_gate,
         "host_sample": q_host_sample,
         "blocklist": q_blocklist,
@@ -2136,6 +2151,26 @@ SELECT doc_id, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id"""
+
+    sql["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, lang AS "group",
+         len({TOKENS_SQL})::BIGINT AS n_tok
+  FROM {DOCS}
+),
+c AS (
+  SELECT doc_id, "group", n_tok,
+         sum(n_tok) OVER (PARTITION BY "group"
+                          ORDER BY doc_id, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, "group", n_tok,
+       (cum - n_tok)::BIGINT AS start_tok,
+       (cum - n_tok)::BIGINT // {PACK_CAPACITY} AS first_seq,
+       greatest(cum - 1, cum - n_tok)::BIGINT // {PACK_CAPACITY}
+         AS last_seq
+FROM c ORDER BY doc_id"""
 
     sql["ppl_buckets"] = f"""
 WITH per AS (

@@ -34,6 +34,51 @@ def split_assign(docs: DataFrame, key: str = "doc_id",
     return docs.select(key, bucket.alias("bucket"), split.alias("split"))
 
 
+def pack_sequences(docs: DataFrame, capacity: int,
+                   group_col: str = "lang", key: str = "doc_id",
+                   order_col: str | None = None) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: within each group,
+    documents are laid end-to-end in (order_col, key) order and the
+    token stream is cut into fixed-``capacity`` training sequences; a
+    document that straddles a boundary is split across the adjacent
+    sequences (the standard pretraining packing — no padding waste, no
+    bin-packing heuristic). Returns per doc:
+    (key, group, n_tok, start_tok, first_seq, last_seq) where
+    ``start_tok`` is the doc's offset in its group's token stream and
+    ``first_seq``/``last_seq`` the 0-based sequence ids it lands in
+    (empty docs take the sequence at their offset).
+
+    Scale shape: ONE window running-sum partitioned by ``group_col`` —
+    each group (language/domain/shard id) packs independently, which is
+    exactly how production packing shards: no global order, shuffle
+    bounded by the largest group. All-integer arithmetic -> the
+    pack_sequences oracle matches bit-for-bit."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    from pyspark.sql import Window
+    order = order_col or key
+    toks = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    base = docs.select(F.col(key), F.col(group_col).alias("group"),
+                       toks.alias("n_tok"), F.col(order).alias("_ord"))
+    w = (Window.partitionBy("group").orderBy("_ord", key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tok").over(w)
+    start = (cum - F.col("n_tok")).cast("long")
+    end = cum.cast("long")
+    last_tok = F.greatest(end - 1, start)   # empty doc -> its offset
+    # seq ids via INTEGER division (div), never a double floor — exact
+    # at any offset and identical to the oracle's // operator
+    return (base
+            .withColumn("start_tok", start)
+            .withColumn("_last_tok", last_tok)
+            .withColumn("first_seq",
+                        F.expr(f"start_tok div {int(capacity)}"))
+            .withColumn("last_seq",
+                        F.expr(f"_last_tok div {int(capacity)}"))
+            .select(key, "group", "n_tok", "start_tok",
+                    "first_seq", "last_seq"))
+
+
 DEFAULT_BUCKET_LABELS = ("head", "middle", "tail")
 
 

@@ -207,3 +207,46 @@ def test_quality_buckets_validation(spark):
         sampling.quality_buckets(docs, "q", labels=("only",))
     with pytest.raises(ValueError):
         sampling.quality_buckets(docs, "q", algorithm="nope")
+
+
+def test_pack_sequences_known_layout(spark):
+    """Concat-and-chunk with capacity 5: per-group token offsets,
+    boundary straddles, and empty docs pinned on a hand-checked layout."""
+    rows = [
+        # group g1: docs of 3, 4, 0, 6 tokens -> offsets 0, 3, 7, 7
+        ("a1", "g1", "t t t"),
+        ("a2", "g1", "t t t t"),
+        ("a3", "g1", ""),
+        ("a4", "g1", "t t t t t t"),
+        # group g2 packs independently from offset 0
+        ("b1", "g2", "t t t t t t t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = {r["doc_id"]: r
+           for r in sampling.pack_sequences(docs, 5).collect()}
+    # a1: toks 0-2 -> seq 0 only
+    assert (out["a1"]["start_tok"], out["a1"]["first_seq"],
+            out["a1"]["last_seq"]) == (0, 0, 0)
+    # a2: toks 3-6 -> straddles seqs 0 and 1
+    assert (out["a2"]["start_tok"], out["a2"]["first_seq"],
+            out["a2"]["last_seq"]) == (3, 0, 1)
+    # a3: empty at offset 7 -> pinned to seq 1
+    assert (out["a3"]["start_tok"], out["a3"]["first_seq"],
+            out["a3"]["last_seq"]) == (7, 1, 1)
+    # a4: toks 7-12 -> seqs 1..2
+    assert (out["a4"]["start_tok"], out["a4"]["first_seq"],
+            out["a4"]["last_seq"]) == (7, 1, 2)
+    # b1: independent group, toks 0-6 -> seqs 0..1
+    assert (out["b1"]["start_tok"], out["b1"]["first_seq"],
+            out["b1"]["last_seq"]) == (0, 0, 1)
+
+
+def test_pack_sequences_stable_and_validates(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en", "w " * (i % 7)) for i in range(40)],
+        "doc_id string, lang string, text string")
+    a = sampling.pack_sequences(docs, 8).collect()
+    b = sampling.pack_sequences(docs.repartition(5), 8).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    with pytest.raises(ValueError):
+        sampling.pack_sequences(docs, 0)
