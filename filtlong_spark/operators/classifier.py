@@ -85,16 +85,68 @@ def classifier_features(docs: DataFrame, vocab,
         .otherwise(F.lit(0.0)).alias("dup_frac"))
 
 
+def classifier_features_arrow(docs: DataFrame, vocab,
+                              key: str = "doc_id") -> DataFrame:
+    """The SAME five features as classifier_features, computed in one
+    Arrow-batched map-only pass (no aggregate, no join) — the
+    streaming-safe rendering: Structured Streaming append mode cannot
+    run classifier_features' groupBy + self-join, but a stateless
+    mapInPandas streams unchanged. Semantics are kept identical
+    (\\S+ tokens, same stopword/vocab/symbol definitions, guarded
+    ratios) and pytest-asserted equal to the aggregate path."""
+    import re
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    vocab_set = frozenset(vocab)
+    stop_set = frozenset(ts.STOPWORDS)
+    tok_re = re.compile(r"\S+")
+    sym_re = re.compile(r"[A-Za-z0-9 ]")
+
+    def mapper(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for k, text in zip(pdf[key], pdf["text"]):
+                t = text if isinstance(text, str) else ""
+                toks = tok_re.findall(t)
+                n = len(toks)
+                n_chars = len(t)
+                if n:
+                    mwl = sum(len(x) for x in toks) / n
+                    stop = sum(x in stop_set for x in toks) / n
+                    voc = sum(x in vocab_set for x in toks) / n
+                    dup = 1.0 - len(set(toks)) / n
+                else:
+                    mwl = stop = voc = dup = 0.0
+                sym = (len(sym_re.sub("", t)) / n_chars) if n_chars else 0.0
+                rows.append((k, mwl, stop, voc, sym, dup))
+            yield pd.DataFrame(rows, columns=[key, *FEATURES])
+
+    key_type = dict(docs.dtypes)[key]
+    schema = f"{key} {key_type}, " + ", ".join(
+        f"{f} double" for f in FEATURES)
+    return docs.select(key, "text").mapInPandas(mapper, schema=schema)
+
+
 def quality_classifier(docs: DataFrame, vocab,
                        weights: dict | None = None,
                        threshold: float = 0.0,
-                       key: str = "doc_id") -> DataFrame:
+                       key: str = "doc_id",
+                       engine: str = "agg") -> DataFrame:
     """Score every doc with the linear model and decide keep.
     Returns (key, <features>, clf_score, keep). The logit is built as
     bias + w1*f1 + w2*f2 + ... in FEATURES order — the oracle SQL
-    repeats the identical chain, so doubles match bit-for-bit."""
+    repeats the identical chain, so doubles match bit-for-bit.
+    ``engine``: 'agg' (codegen explode + hash aggregate — the batch
+    default) or 'arrow' (map-only stateless pass — required under
+    Structured Streaming, same semantics)."""
     w = dict(DEFAULT_WEIGHTS if weights is None else weights)
-    feats = classifier_features(docs, vocab, key)
+    if engine == "agg":
+        feats = classifier_features(docs, vocab, key)
+    elif engine == "arrow":
+        feats = classifier_features_arrow(docs, vocab, key)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     logit = F.lit(float(w["bias"]))
     for f in FEATURES:
         logit = logit + F.lit(float(w[f])) * F.col(f)

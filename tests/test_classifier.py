@@ -56,3 +56,21 @@ def test_fit_weights_separates_and_feeds_scorer(spark):
         assert r["keep"] == (r["doc_id"] < 100), r
     # determinism: refit gives identical coefficients
     assert clf.fit_weights(X, y) == w
+
+
+def test_arrow_engine_bit_identical_to_agg(spark):
+    """engine='arrow' (streaming-safe map-only pass) reproduces the
+    codegen aggregate path bit-for-bit across varied shapes: unicode,
+    symbols, repeated tokens, empties, whitespace-only."""
+    rows = [(1, "alpha beta the of gamma delta"),
+            (2, ""), (3, "   \t  "),
+            (4, "z" * 50), (5, "a b c d e f g a b c"),
+            (6, "naïve café — em-dash …unicode №"),
+            (7, "$$$ alpha $$$ beta %%%"),
+            (8, "the the the the the")]
+    df = _df(spark, rows)
+    agg = {r["doc_id"]: tuple(r) for r in
+           clf.quality_classifier(df, VOCAB).collect()}
+    arrow = {r["doc_id"]: tuple(r) for r in
+             clf.quality_classifier(df, VOCAB, engine="arrow").collect()}
+    assert agg == arrow

@@ -169,3 +169,40 @@ def test_streaming_near_dedup_by_simhash(spark, tmp_path):
     assert len(got) == 3
     assert "https://a.test/2" in got and "https://a.test/empty" in got
     assert len({u for u in got if u.endswith("/1")}) == 1
+
+
+def test_streaming_clf_gate_matches_batch(spark, tmp_path):
+    """Streaming classifier gate: the Arrow map-only feature path runs
+    under availableNow and produces EXACTLY the batch aggregate path's
+    rows (features, logit, keep) — the engine='arrow' == engine='agg'
+    equivalence plus the stream drive in one assertion."""
+    import datetime
+    from filtlong_spark.operators import classifier as clf
+    from filtlong_spark.streaming import stream as st
+    vocab = ("alpha", "beta", "gamma")
+    src = str(tmp_path / "clf_src")
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        ("https://a.test/good", t0, None,
+         "alpha beta the gamma of alpha is beta prose words here", None),
+        ("https://a.test/junk", t0, None, "$$$$ %%%% ^^^^ " * 8, None),
+        ("https://a.test/empty", t0, None, "", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    df.write.parquet(src)
+    out_dir = str(tmp_path / "clf_out")
+    ck = str(tmp_path / "ck_clf")
+    q = (st.pages_stream_clf_gate(spark, src, vocab, threshold=-2.0)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    batch = {tuple(r) for r in clf.quality_classifier(
+        df, sorted(vocab), threshold=-2.0, key="url").collect()}
+    assert streamed == batch and len(streamed) == 3
+    kept = {r[0] for r in streamed if r[-1]}
+    assert "https://a.test/junk" not in kept
+    assert "https://a.test/good" in kept
