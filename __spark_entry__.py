@@ -697,6 +697,23 @@ def q_ppl_buckets(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+MIXTURE_SHARES = {"de": 0.5, "en": 0.5, "zh": 0.25}
+MIXTURE_BUDGET = 8000
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Static-mixture downsampling to a target token distribution (the
+    Pile/DoReMi domain-mixing slot): p_keep = min(1, share*budget/
+    group_tokens) per language (de's slice exceeds its corpus -> p_keep
+    caps at 1.0; fr/es are absent -> excluded at 0.0), decided per doc
+    by the deterministic md5 uniform. Key-only group agg + broadcast
+    back, map-only draw."""
+    from filtlong_spark.operators import sampling
+    return (sampling.mixture_sample(_docs(spark, sf_dir), MIXTURE_SHARES,
+                                    MIXTURE_BUDGET)
+            .orderBy("doc_id"))
+
+
 PACK_CAPACITY = 2048
 
 
@@ -822,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "ppl_buckets": q_ppl_buckets,
         "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
         "host_gate": q_host_gate,
         "host_sample": q_host_sample,
         "blocklist": q_blocklist,
@@ -2151,6 +2169,33 @@ SELECT doc_id, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id"""
+
+    _SHARES_SQL = ", ".join(f"('{g}', {s!r}::DOUBLE)"
+                            for g, s in sorted(MIXTURE_SHARES.items()))
+    sql["mixture_sample"] = f"""
+WITH t AS (
+  SELECT doc_id, lang AS "group",
+         len({TOKENS_SQL})::BIGINT AS n_tok
+  FROM {DOCS}
+),
+c AS (
+  SELECT "group", sum(n_tok)::BIGINT AS group_tokens
+  FROM t GROUP BY "group"
+),
+s("group", share) AS (VALUES {_SHARES_SQL}),
+p AS (
+  SELECT c."group", c.group_tokens,
+         CASE WHEN s.share IS NOT NULL AND c.group_tokens > 0
+              THEN least(1.0::DOUBLE,
+                         s.share * {float(MIXTURE_BUDGET)!r}
+                           / c.group_tokens)
+              ELSE 0.0 END AS p_keep
+  FROM c LEFT JOIN s USING ("group")
+)
+SELECT t.doc_id, t."group", t.n_tok, p.group_tokens, p.p_keep,
+       (('0x' || substr(md5(t.doc_id::VARCHAR), 1, 15))::BIGINT
+          / {float(1 << 60)!r}) < p.p_keep AS sampled
+FROM t JOIN p USING ("group") ORDER BY doc_id"""
 
     sql["pack_sequences"] = f"""
 WITH t AS (

@@ -79,6 +79,56 @@ def pack_sequences(docs: DataFrame, capacity: int,
                     "first_seq", "last_seq"))
 
 
+def mixture_sample(docs: DataFrame, target_shares: dict,
+                   token_budget: int, group_col: str = "lang",
+                   key: str = "doc_id") -> DataFrame:
+    """Static-mixture downsampling to a TARGET distribution (the
+    Pile/DoReMi-style domain-mixing stage): given per-group target
+    shares of a total token budget, each group keeps docs with
+    p_keep = min(1, share * budget / group_tokens), so the expected
+    kept-token mass per group is its budget slice (a group smaller than
+    its slice keeps everything — shares are a ceiling-capped target,
+    not an up-sampler). Groups absent from ``target_shares`` (or with
+    zero tokens) get p_keep = 0.0 — excluded from the mixture.
+
+    The per-doc draw is the same deterministic md5 uniform as
+    partitioning.host_temperature_sample (60-bit prefix / 2^60): pure
+    function of the doc key, reproducible across runs, cluster sizes,
+    and engines. Returns (key, group, n_tok, group_tokens, p_keep,
+    sampled) for EVERY input doc.
+
+    Scale shape: one explode-free token count per doc (map-side), a
+    key-only group aggregate (tiny — rows = distinct groups), broadcast
+    back, then a map-only comparison. No doc-grain shuffle, no text
+    movement. p_keep is one multiply + one divide on exact integer
+    sums -> the mixture_sample oracle matches bit-for-bit."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    shares_df = docs.sparkSession.createDataFrame(
+        [(g, float(s)) for g, s in sorted(target_shares.items())],
+        "group string, share double")
+    toks = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    base = docs.select(F.col(key), F.col(group_col).alias("group"),
+                       toks.cast("long").alias("n_tok"))
+    counts = (base.groupBy("group")
+              .agg(F.sum("n_tok").alias("group_tokens")))
+    plan = (counts.join(F.broadcast(shares_df), "group", "left")
+            .select("group", "group_tokens",
+                    F.when(F.col("share").isNotNull()
+                           & (F.col("group_tokens") > 0),
+                           F.least(F.lit(1.0),
+                                   F.col("share")
+                                   * F.lit(float(token_budget))
+                                   / F.col("group_tokens")))
+                    .otherwise(F.lit(0.0)).alias("p_keep")))
+    u01 = (F.conv(F.substring(
+               F.md5(F.col(key).cast("string").cast("binary")), 1, 15),
+               16, 10).cast("long") / F.lit(float(1 << 60)))
+    return (base.join(F.broadcast(plan), "group")
+            .select(key, "group", "n_tok", "group_tokens", "p_keep",
+                    (u01 < F.col("p_keep")).alias("sampled")))
+
+
 DEFAULT_BUCKET_LABELS = ("head", "middle", "tail")
 
 

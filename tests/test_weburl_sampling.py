@@ -250,3 +250,34 @@ def test_pack_sequences_stable_and_validates(spark):
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
     with pytest.raises(ValueError):
         sampling.pack_sequences(docs, 0)
+
+
+def test_mixture_sample_semantics(spark):
+    """Target-mixture downsampling: p_keep = min(1, share*budget/
+    group_tokens); a group smaller than its slice keeps everything;
+    absent groups are excluded; the draw is a pure function of the key
+    (stable under repartitioning); expected kept-token mass tracks the
+    slice."""
+    rows = ([(f"a{i}", "big", "w " * 40) for i in range(100)]     # 4000 tok
+            + [(f"b{i}", "small", "w " * 10) for i in range(10)]  # 100 tok
+            + [(f"c{i}", "other", "w " * 10) for i in range(5)])
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = sampling.mixture_sample(
+        docs, {"big": 0.5, "small": 0.5}, 2000, key="doc_id")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 115
+    # big: 0.5*2000/4000 = 0.25; small: slice 1000 > 100 tokens -> 1.0
+    assert got["a0"]["p_keep"] == 0.25
+    assert got["b0"]["p_keep"] == 1.0
+    assert all(got[f"b{i}"]["sampled"] for i in range(10))
+    assert all(not got[f"c{i}"]["sampled"] and got[f"c{i}"]["p_keep"] == 0.0
+               for i in range(5))
+    kept_tok = sum(r["n_tok"] for r in got.values()
+                   if r["sampled"] and r["group"] == "big")
+    assert 600 <= kept_tok <= 1400  # E=1000, md5 draw concentrates
+    out2 = sampling.mixture_sample(
+        docs.repartition(7), {"big": 0.5, "small": 0.5}, 2000)
+    assert {(r["doc_id"], r["sampled"]) for r in out2.collect()} == \
+        {(k, v["sampled"]) for k, v in got.items()}
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {"big": 1.0}, 0)
