@@ -99,7 +99,11 @@ def classifier_features_arrow(docs: DataFrame, vocab,
     _register_self_contained_pickling()
     vocab_set = frozenset(vocab)
     stop_set = frozenset(ts.STOPWORDS)
-    tok_re = re.compile(r"\S+")
+    # re.ASCII: Python's default \s is UNICODE (NBSP, ideographic space,
+    # line separator...), but Spark's Java regex and DuckDB's RE2 both
+    # treat \s as ASCII-only — without the flag this path would tokenize
+    # U+00A0-bearing text differently from the agg path it must mirror
+    tok_re = re.compile(r"\S+", re.ASCII)
     sym_re = re.compile(r"[A-Za-z0-9 ]")
 
     def mapper(batches):

@@ -161,12 +161,24 @@ def quality_buckets(docs: DataFrame, score_col: str,
       where equal-count exactness is not worth a per-language sort.
       Boundary docs may land one bucket off their exact rank; counts
       are approximately equal. Same keep-everything contract.
+
+    Scores must be non-null (guard upstream): engines disagree on
+    where NULL sorts in a DESC window, so a null score would break the
+    exact path's engine-identical claim.
     """
     if len(labels) != n_buckets:
         raise ValueError("labels must have n_buckets entries")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     score = F.col(score_col).cast("double")
     base = docs.select(F.col(key), F.col(lang_col).alias("lang"),
                        score.alias("score"))
+    if n_buckets == 1:
+        # degenerate split: everything is the single bucket (the approx
+        # path would otherwise ask percentile_approx for zero quantiles)
+        return base.select(key, "lang", "score",
+                           F.lit(1).alias("bucket"),
+                           F.lit(labels[0]).alias("label"))
     if algorithm == "exact":
         from pyspark.sql import Window
         w = (Window.partitionBy("lang")

@@ -67,7 +67,11 @@ def test_arrow_engine_bit_identical_to_agg(spark):
             (4, "z" * 50), (5, "a b c d e f g a b c"),
             (6, "naïve café — em-dash …unicode №"),
             (7, "$$$ alpha $$$ beta %%%"),
-            (8, "the the the the the")]
+            (8, "the the the the the"),
+            # Unicode whitespace: NBSP / ideographic space / line sep are
+            # TOKEN chars under ASCII \S (Java + RE2 semantics) — the
+            # arrow path must agree, not split on them (Python default \s)
+            (9, "alpha beta gamma　delta the of")]
     df = _df(spark, rows)
     agg = {r["doc_id"]: tuple(r) for r in
            clf.quality_classifier(df, VOCAB).collect()}

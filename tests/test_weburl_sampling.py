@@ -281,3 +281,18 @@ def test_mixture_sample_semantics(spark):
         {(k, v["sampled"]) for k, v in got.items()}
     with pytest.raises(ValueError):
         sampling.mixture_sample(docs, {"big": 1.0}, 0)
+
+
+def test_quality_buckets_single_bucket_degenerate(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en", float(i)) for i in range(5)],
+        "doc_id string, lang string, q double")
+    for algo in ("exact", "approx"):
+        out = sampling.quality_buckets(docs, "q", n_buckets=1,
+                                       labels=("all",),
+                                       algorithm=algo).collect()
+        assert len(out) == 5
+        assert {r["bucket"] for r in out} == {1}
+        assert {r["label"] for r in out} == {"all"}
+    with pytest.raises(ValueError):
+        sampling.quality_buckets(docs, "q", n_buckets=0, labels=())
