@@ -160,11 +160,18 @@ def ngram_repetition_stats(docs: DataFrame, key: str = "doc_id",
       of Gopher's duplicate-n-gram character fraction.
 
     Scale shape: two explodes to (doc, gram) grain + hash aggregates
-    (map-side partial combine on the compound key), a doc-grain max and
-    a doc-grain sum, then a left join back to the doc list — no windows,
-    no driver state. All-integer counts; the single divide per ratio
-    happens in the same order in the DuckDB oracle, so values are
-    bit-identical."""
+    (map-side partial combine on the compound key — a doc lives in one
+    partition, so all its repeated grams collapse BEFORE the exchange),
+    a doc-grain max and a doc-grain sum, then a left join back to the
+    doc list — no windows, no driver state. The exchange still carries
+    gram STRINGS (~n x text for distinct windows); at 100 TB swap the
+    shuffle key to (doc, xxhash64(gram)) with length(gram) as payload —
+    dup_*_pct needs only (count, length) and becomes a text-free
+    integer shuffle; the top_gram STRING column is the one consumer of
+    the text key and is what an at-scale caller would drop. Kept
+    string-keyed here because the oracle asserts the chosen gram
+    itself. All-integer counts; the single divide per ratio happens in
+    the same order in the DuckDB oracle, so values are bit-identical."""
     n_chars = F.length("text").alias("n_chars")
     base = docs.select(key, n_chars)
 
