@@ -143,7 +143,8 @@ def _gram_string(n: int) -> Column:
 
 
 def ngram_repetition_stats(docs: DataFrame, key: str = "doc_id",
-                           top_n: int = 3, dup_n: int = 5) -> DataFrame:
+                           top_n: int = 3, dup_n: int = 5,
+                           carry_gram_strings: bool = True) -> DataFrame:
     """The character-grain half of Gopher's repetition table (Rae et al.
     2021 §A1.2; repetition_stats covers the token-grain half):
 
@@ -163,32 +164,58 @@ def ngram_repetition_stats(docs: DataFrame, key: str = "doc_id",
     (map-side partial combine on the compound key — a doc lives in one
     partition, so all its repeated grams collapse BEFORE the exchange),
     a doc-grain max and a doc-grain sum, then a left join back to the
-    doc list — no windows, no driver state. The exchange still carries
-    gram STRINGS (~n x text for distinct windows); at 100 TB swap the
-    shuffle key to (doc, xxhash64(gram)) with length(gram) as payload —
-    dup_*_pct needs only (count, length) and becomes a text-free
-    integer shuffle; the top_gram STRING column is the one consumer of
-    the text key and is what an at-scale caller would drop. Kept
-    string-keyed here because the oracle asserts the chosen gram
-    itself. All-integer counts; the single divide per ratio happens in
-    the same order in the DuckDB oracle, so values are bit-identical."""
+    doc list — no windows, no driver state. With the default
+    ``carry_gram_strings=True`` the exchange carries gram STRINGS
+    (~n x text for distinct windows) so the chosen ``top_gram`` can be
+    returned and oracle-asserted; ``carry_gram_strings=False`` is the
+    100 TB shape — the shuffle key becomes (doc, xxhash64(gram)) with
+    length(gram) as an integer payload, a TEXT-FREE shuffle: dup/top
+    percentages are computed from (count, length) alone and
+    ``top_gram`` is returned as '' (tie-break falls back to highest
+    count, then longest gram, then smallest hash — still a total
+    order, but ties of unequal length can pick a different gram than
+    the string mode, so the pct can differ exactly there).
+    All-integer counts; the single divide per ratio happens in the
+    same order in the DuckDB oracle, so values are bit-identical."""
     n_chars = F.length("text").alias("n_chars")
     base = docs.select(key, n_chars)
 
-    gt = docs.select(key, F.explode(_ngram_col(top_n)).alias("bg"))
-    ct = (gt.select(key, _gram_string(top_n).alias("gram"))
-          .groupBy(key, "gram").agg(F.count("*").alias("c")))
-    mt = ct.groupBy(key).agg(F.max("c").alias("mc"))
-    topg = (ct.join(mt, key).filter(F.col("c") == F.col("mc"))
-            .groupBy(key).agg(F.min("gram").alias("top_gram"),
-                              F.max("c").alias("top_c")))
+    def _counts(n: int):
+        g = (docs.select(key, F.explode(_ngram_col(n)).alias("bg"))
+             .select(key, _gram_string(n).alias("gram")))
+        if carry_gram_strings:
+            return (g.groupBy(key, "gram")
+                    .agg(F.count("*").alias("c"),
+                         F.length("gram").cast("long").alias("glen")))
+        # text-free: the string never reaches the exchange — only the
+        # 64-bit hash and the integer length do
+        g = g.select(key, F.xxhash64("gram").alias("gram"),
+                     F.length("gram").cast("long").alias("glen"))
+        return (g.groupBy(key, "gram")
+                .agg(F.count("*").alias("c"), F.first("glen").alias("glen")))
 
-    gd = docs.select(key, F.explode(_ngram_col(dup_n)).alias("bg"))
-    cd = (gd.select(key, _gram_string(dup_n).alias("gram"))
-          .groupBy(key, "gram").agg(F.count("*").alias("c")))
+    ct = _counts(top_n)
+    mt = ct.groupBy(key).agg(F.max("c").alias("mc"))
+    tied = ct.join(mt, key).filter(F.col("c") == F.col("mc"))
+    if carry_gram_strings:
+        topg = (tied.groupBy(key)
+                .agg(F.min("gram").alias("top_gram"),
+                     F.max("c").alias("top_c")))
+        topg = topg.withColumn("top_len",
+                               F.length("top_gram").cast("long"))
+    else:
+        # total order without strings: (c desc implicit, len desc,
+        # hash asc) via a struct max
+        topg = (tied.groupBy(key)
+                .agg(F.max(F.struct(F.col("glen"), -F.col("gram")))
+                     .alias("_pick"), F.max("c").alias("top_c")))
+        topg = (topg.withColumn("top_len", F.col("_pick.glen"))
+                .withColumn("top_gram", F.lit("")).drop("_pick"))
+
+    cd = _counts(dup_n)
     dup = (cd.filter(F.col("c") >= 2)
            .groupBy(key)
-           .agg(F.sum((F.col("c") - 1) * F.length("gram").cast("long"))
+           .agg(F.sum((F.col("c") - 1) * F.col("glen"))
                 .alias("dup_chars")))
 
     return (base.join(topg, key, "left").join(dup, key, "left")
@@ -196,7 +223,7 @@ def ngram_repetition_stats(docs: DataFrame, key: str = "doc_id",
                 key,
                 F.coalesce("top_gram", F.lit("")).alias("top_gram"),
                 F.when(F.col("top_c").isNotNull() & (F.col("n_chars") > 0),
-                       (100.0 * F.col("top_c") * F.length("top_gram"))
+                       (100.0 * F.col("top_c") * F.col("top_len"))
                        / F.col("n_chars"))
                 .otherwise(F.lit(0.0)).alias(f"top_{top_n}gram_pct"),
                 F.when(F.col("dup_chars").isNotNull()
