@@ -256,3 +256,65 @@ def test_script_routing_needs_majority_share():
     assert pred[0] == "en"
     pred2, conf2 = core.flat_predict_lang_texts(["量子力学研究微观粒子的运动规律"])
     assert pred2[0] == "zh" and conf2[0] > 0.5
+
+
+# 3 SHORT texts per language (~15-40 chars — the hard regime: titles,
+# chat, tweets). None share sentences with LANG_SAMPLES. Measured
+# accuracy at authoring time: 35/36 — the single miss is the French
+# weather sentence (predicted en at conf 0.22): it contains no
+# accented French trigram and 'le/te/be' n-grams are common English.
+SHORT_HELD_OUT = {
+    "en": ["the weather is nice today",
+           "please call me back tomorrow morning",
+           "i would like a cup of coffee"],
+    "de": ["das wetter ist heute schoen",
+           "bitte ruf mich morgen frueh zurueck",
+           "ich moechte eine tasse kaffee"],
+    "es": ["el tiempo esta muy bueno hoy",
+           "por favor llamame manana por la manana",
+           "quiero una taza de cafe"],
+    "fr": ["le temps est tres beau aujourd hui",   # known miss -> en
+           "appelle moi demain matin s il te plait",
+           "je voudrais une tasse de cafe"],
+    "it": ["il tempo oggi e molto bello",
+           "per favore richiamami domani mattina",
+           "vorrei una tazza di caffe"],
+    "pt": ["o tempo esta muito bom hoje",
+           "por favor me ligue amanha de manha",
+           "eu gostaria de uma xicara de cafe"],
+    "ru": ["погода сегодня очень хорошая",
+           "пожалуйста перезвони мне завтра утром",
+           "я хочу чашку кофе"],
+    "zh": ["今天天气很好", "请明天早上给我回电话", "我想要一杯咖啡"],
+    "ar": ["الطقس جميل اليوم", "من فضلك اتصل بي غدا صباحا",
+           "أريد فنجانا من القهوة"],
+    "ja": ["今日は天気がとてもいいです", "明日の朝に電話をかけ直してください",
+           "コーヒーを一杯ください"],
+    "ko": ["오늘 날씨가 정말 좋아요", "내일 아침에 다시 전화해 주세요",
+           "커피 한 잔 주세요"],
+    "hi": ["आज मौसम बहुत अच्छा है", "कृपया कल सुबह मुझे वापस बुलाएं",
+           "मुझे एक कप कॉफी चाहिए"],
+}
+
+
+def test_short_text_accuracy_floor():
+    """Short-text regime: >= 2/3 per language and >= 0.9 overall.
+    Pins the current 35/36 behavior without overclaiming — one French
+    sentence is a documented near-miss (accentless French with heavy
+    English-overlap trigrams)."""
+    misses, total, ok = [], 0, 0
+    per_lang = {}
+    for lang, texts in SHORT_HELD_OUT.items():
+        hits = 0
+        for t in texts:
+            pred, conf = core.predict_lang(t)
+            total += 1
+            if pred == lang:
+                ok += 1
+                hits += 1
+            else:
+                misses.append((lang, t, pred, round(conf, 3)))
+        per_lang[lang] = hits
+    assert ok / total >= 0.9, misses
+    for lang, hits in per_lang.items():
+        assert hits >= 2, (lang, misses)
