@@ -275,3 +275,50 @@ def test_clf_gate_custom_weights_and_resume(spark, tmp_path):
         run_filter(spark, _pages(spark, rows),
                    _cfg(clf_threshold=-5.0, clf_weights=w),
                    checkpoint_dir=ck)
+
+
+def test_all_gates_composed_with_resume(spark, tmp_path):
+    """EVERY pre-scoring stage on at once — blocklist -> line-dedup ->
+    simhash near-dup -> classifier gate — with checkpoint/resume:
+    stage precedence decides the quarantine reason (a blocklisted doc
+    never reaches dedup; a near-dup is never classifier-scored), all
+    three counters surface in metrics and survive resume, and the
+    budget base stays the RAW input chars."""
+    rows = _corpus()  # boilerplate + 3-doc near-dup group on dup.ex.com
+    rows.append(("https://h0.ex.com/junk", "2024-01-03T00:00:00", "en",
+                 BOILER + "\n" + "$$$$ %%%% ^^^^ &&&& " * 10))
+    ck = str(tmp_path / "ck")
+    # classifier weights that only punish symbol soup (see the clf
+    # resume test); h1.ex.com is deny-listed outright
+    cfg = _cfg(blocklist_hosts=("h1.ex.com",),
+               line_dedup_min_df=10,
+               near_dup_dedup="simhash",
+               clf_threshold=0.0,
+               clf_weights=(1.0, 0.0, 0.0, 0.0, -10.0, 0.0))
+    r1 = run_filter(spark, _pages(spark, rows), cfg, checkpoint_dir=ck)
+    q = {r["url"]: r["reason"] for r in r1.quarantine.collect()}
+    # blocklist fires first: every h1 doc is 'blocklisted' (i%3==1 ->
+    # docs 1,4,7,10), even though they'd also pass later stages
+    h1 = {u for u in q if "h1.ex.com" in u}
+    assert len(h1) == 4 and all(q[u] == "blocklisted" for u in h1)
+    # near-dup group loses 2 of 3
+    dups = {u: r for u, r in q.items() if "dup.ex.com" in u}
+    assert len(dups) == 2
+    assert set(dups.values()) == {"near_duplicate_simhash"}
+    # junk doc survives blocklist + dedup but the classifier cuts it
+    assert q["https://h0.ex.com/junk"] == "classifier_rejected"
+    m = r1.metrics
+    assert (m["blocklist_dropped"], m["near_dup_dropped"],
+            m["clf_dropped"]) == (4, 2, 1)
+    assert r1.total_input_chars == sum(len(t) for *_, t in rows)
+    # survivors carry line-CLEANED text
+    for r in r1.kept.collect():
+        assert BOILER not in r["text"]
+    # resume restores every counter and the exact kept set
+    r2 = run_filter(spark, _pages(spark, rows), cfg, checkpoint_dir=ck)
+    assert r2.resumed
+    assert {x["url"] for x in r2.kept.collect()} == \
+        {x["url"] for x in r1.kept.collect()}
+    assert (r2.metrics["blocklist_dropped"],
+            r2.metrics["near_dup_dropped"],
+            r2.metrics["clf_dropped"]) == (4, 2, 1)
