@@ -217,9 +217,99 @@ def run_web(argv) -> int:
     return 0
 
 
+def build_dataset_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="filtlong_spark dataset",
+        description="dataset-construction operators over a documents "
+                    "parquet (columns: doc_id, lang, text): "
+                    "deterministic splits, CCNet quality buckets, "
+                    "concat-and-chunk packing, target-mixture sampling")
+    p.add_argument("op", choices=("split", "buckets", "pack", "mixture"))
+    p.add_argument("--input", required=True,
+                   help="input parquet of documents")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--master", default=None)
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--group_col", default="lang",
+                   help="grouping column for buckets/pack/mixture")
+    # split
+    p.add_argument("--train_pct", type=int, default=90)
+    p.add_argument("--val_pct", type=int, default=5)
+    # buckets
+    p.add_argument("--score_col", default=None,
+                   help="buckets: quality column to rank on (required)")
+    p.add_argument("--n_buckets", type=int, default=3)
+    p.add_argument("--algorithm", choices=("exact", "approx"),
+                   default="approx",
+                   help="buckets: exact ntile or no-sort percentile "
+                        "thresholds (default: approx, the at-scale plan)")
+    # pack
+    p.add_argument("--capacity", type=int, default=2048,
+                   help="pack: tokens per training sequence")
+    # mixture
+    p.add_argument("--shares", default=None, metavar="G=S,G=S,...",
+                   help="mixture: per-group target shares of the budget, "
+                        "e.g. en=0.5,zh=0.25")
+    p.add_argument("--token_budget", type=int, default=None)
+    return p
+
+
+def run_dataset(argv) -> int:
+    import json
+
+    a = build_dataset_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+    b = SparkSession.builder.appName("filtlong_spark_dataset")
+    if a.master:
+        b = b.master(a.master)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from .operators import sampling
+
+    docs = spark.read.parquet(a.input)
+    if a.op == "split":
+        out = sampling.split_assign(docs, key=a.key,
+                                    train_pct=a.train_pct,
+                                    val_pct=a.val_pct)
+    elif a.op == "buckets":
+        if not a.score_col:
+            raise ValueError("Error: buckets requires --score_col")
+        labels = (sampling.DEFAULT_BUCKET_LABELS if a.n_buckets == 3
+                  else tuple(f"b{i + 1}" for i in range(a.n_buckets)))
+        out = sampling.quality_buckets(
+            docs, a.score_col, lang_col=a.group_col, key=a.key,
+            n_buckets=a.n_buckets, labels=labels, algorithm=a.algorithm)
+    elif a.op == "pack":
+        out = sampling.pack_sequences(docs, a.capacity,
+                                      group_col=a.group_col, key=a.key)
+    else:  # mixture
+        if not a.shares or a.token_budget is None:
+            raise ValueError(
+                "Error: mixture requires --shares and --token_budget")
+        shares = {}
+        for part in a.shares.split(","):
+            g, _, s = part.partition("=")
+            if not g or not s:
+                raise ValueError(f"Error: bad --shares entry {part!r}")
+            shares[g] = float(s)
+        out = sampling.mixture_sample(docs, shares, a.token_budget,
+                                      group_col=a.group_col, key=a.key)
+    out.write.mode("overwrite").parquet(a.out_dir)
+    n = spark.read.parquet(a.out_dir).count()
+    print(json.dumps({"op": a.op, "rows": n, "out_dir": a.out_dir}),
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    if argv and argv[0] == "dataset":
+        try:
+            return run_dataset(argv[1:])
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
     if argv and argv[0] == "web":
         try:
             return run_web(argv[1:])

@@ -101,3 +101,43 @@ def test_web_subcommand_end_to_end(capsys, spark, tmp_path):
     assert rc == 0
     m2 = json.loads(err.strip().splitlines()[-1])
     assert m2["resumed"] is True and m2["kept_docs"] == n1
+
+
+def test_dataset_subcommand_all_ops(capsys, spark, tmp_path):
+    """`python -m filtlong_spark dataset <op>`: the dataset-construction
+    operators are reachable from the production CLI — split, quality
+    buckets (approx default), sequence packing, and mixture sampling all
+    write parquet and report a JSON line on stderr."""
+    import json
+    src = str(tmp_path / "docs_in")
+    rows = [(i, "en" if i % 2 else "de",
+             " ".join(f"w{j}" for j in range(3 + i % 9)),
+             float(i % 17)) for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, score double"
+    ).write.parquet(src)
+
+    def run(args, out_name):
+        out = str(tmp_path / out_name)
+        rc = cli.main(["dataset", *args, "--input", src,
+                       "--out_dir", out])
+        err = capsys.readouterr().err
+        assert rc == 0, err
+        m = json.loads(err.strip().splitlines()[-1])
+        assert m["rows"] > 0
+        return spark.read.parquet(out)
+
+    sp = run(["split"], "o_split")
+    assert set(sp.columns) == {"doc_id", "bucket", "split"}
+    bu = run(["buckets", "--score_col", "score"], "o_buckets")
+    assert {r["label"] for r in bu.collect()} <= {"head", "middle", "tail"}
+    pk = run(["pack", "--capacity", "16"], "o_pack")
+    assert pk.filter("last_seq > first_seq").count() > 0  # straddles
+    mx = run(["mixture", "--shares", "en=0.5,de=0.25",
+              "--token_budget", "100"], "o_mix")
+    assert mx.filter("sampled").count() > 0
+    # error contract: missing required op params -> exit 1 + Error:
+    rc = cli.main(["dataset", "buckets", "--input", src,
+                   "--out_dir", str(tmp_path / "o_err")])
+    assert rc == 1
+    assert capsys.readouterr().err.startswith("Error:")
