@@ -697,6 +697,22 @@ def q_ppl_buckets(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+PR_ITERS = 8
+
+
+def q_host_rank(spark, sf_dir):
+    """Host-graph link analysis: integer fixed-point PageRank (8
+    synchronous iterations at SCALE=10^12 — floor division + exact
+    int64 sums only, so the recursive computation is bit-identical in
+    Spark, DuckDB's unrolled CTE chain, and Python). Edges derived
+    deterministically from the doc key (no html in the testdata; the
+    operator documents the real-outlink swap-in)."""
+    from filtlong_spark.operators import graph
+    d = _docs(spark, sf_dir)
+    return (graph.pagerank_int(graph.host_edges(d), PR_ITERS)
+            .orderBy("host"))
+
+
 MIXTURE_SHARES = {"de": 0.5, "en": 0.5, "zh": 0.25}
 MIXTURE_BUDGET = 8000
 
@@ -840,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
+        "host_rank": q_host_rank,
         "host_gate": q_host_gate,
         "host_sample": q_host_sample,
         "blocklist": q_blocklist,
@@ -2169,6 +2186,40 @@ SELECT doc_id, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id"""
+
+    _PR_SCALE = 10 ** 12
+    _pr_steps = []
+    for k in range(1, PR_ITERS + 1):
+        _pr_steps.append(f"""r{k} AS (
+  SELECT nd.host,
+         (15 * {_PR_SCALE}::BIGINT) // (100 * (SELECT count(*) FROM nodes))
+           + (85 * coalesce(s.inflow, 0)) // 100 AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS host, sum(p.rank // d.deg)::BIGINT AS inflow
+    FROM r{k - 1} p JOIN edges e ON p.host = e.src
+                    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s USING (host))""")
+    _PR_STEPS_SQL = ",\n".join(_pr_steps)
+    sql["host_rank"] = f"""
+WITH hosts AS (SELECT DISTINCT source AS dst FROM {DOCS}),
+idx AS (SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS idx
+        FROM hosts),
+doc_edges AS (
+  SELECT source AS src,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+           % (SELECT count(*) FROM hosts) AS idx
+  FROM {DOCS}
+),
+edges AS (SELECT DISTINCT e.src, i.dst
+          FROM doc_edges e JOIN idx i USING (idx)),
+nodes AS (SELECT src AS host FROM edges
+          UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT host,
+              {_PR_SCALE}::BIGINT // (SELECT count(*) FROM nodes) AS rank
+       FROM nodes),
+{_PR_STEPS_SQL}
+SELECT host, rank FROM r{PR_ITERS} ORDER BY host"""
 
     _SHARES_SQL = ", ".join(f"('{g}', {s!r}::DOUBLE)"
                             for g, s in sorted(MIXTURE_SHARES.items()))

@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "events_rollup", "events_sessions", "url_canon", "dedup_url",
     "split_assign", "host_gate", "host_sample", "decontaminate", "blocklist",
     "dedup_substring", "ppl_buckets", "repetition_ngrams", "clf_score",
-    "pack_sequences", "mixture_sample",
+    "pack_sequences", "mixture_sample", "host_rank",
 ]
 
 
