@@ -392,28 +392,48 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
     def mapper(batches):
         import numpy as np
         import pandas as pd
-        for pdf in batches:
-            nd = len(pdf)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = pa.schema([
+            ("url", pa.string()), ("parent_url", pa.string()),
+            ("n_chars", pa.int64()), ("n_tokens", pa.int64()),
+            ("mean_q", pa.float64()), ("window_q", pa.float64()),
+            ("ratio", pa.float64()), ("child_start", pa.int32()),
+            ("child_end", pa.int32()), ("is_child", pa.bool_()),
+            ("lang_pred", pa.string()), ("lang_ok", pa.bool_())])
+
+        def flat(col, dtype):
+            """List column -> (per-row counts, flat values) with ZERO
+            per-row Python: list_value_length reads the offsets buffer,
+            flatten() slices the values buffer. The previous
+            mapInPandas intake materialized one numpy object PER ROW
+            per column and re-copied via np.concatenate — at 24M tokens
+            that conversion, not the kernels, dominated the stage."""
+            counts = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vals = col.flatten().to_numpy(
+                zero_copy_only=False).astype(dtype)
+            return counts, vals
+
+        for rb in batches:
+            nd = rb.num_rows
             if not nd:
                 continue
-            urls = np.array(pdf["url"].tolist(), dtype=object)
-            n_chars = np.asarray(pdf["n_chars"], dtype=np.int64)
-            lang_pred = np.array(pdf["lang_pred"].tolist(), dtype=object)
-            gated = ~np.asarray(pdf["lang_ok"], dtype=bool)
+            urls = np.array(rb.column("url").to_pylist(), dtype=object)
+            n_chars = rb.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lang_pred = np.array(rb.column("lang_pred").to_pylist(),
+                                 dtype=object)
+            gated = ~rb.column("lang_ok").to_numpy(
+                zero_copy_only=False).astype(bool)
 
             # flatten the per-doc arrays ONCE, then run the same flat
             # kernels as the intrinsic scorer (prefix-sum mean/window,
             # whole-batch bad-run masks) — per-doc Python only for docs
-            # that actually scrub. The previous per-doc loop built one
-            # (start, end, q) tuple PER TOKEN (~500 per doc) and was the
-            # reassembly stage's dominant cost.
-            pos_cells = pdf["pos"].to_numpy()
-            counts_all = np.fromiter((len(a) for a in pos_cells),
-                                     dtype=np.int64, count=nd)
-            pos = (np.concatenate(pos_cells).astype(np.int64)
-                   if counts_all.sum() else np.zeros(0, dtype=np.int64))
-            fl = np.concatenate(pdf["flags"].to_numpy()).astype(np.int8) \
-                if pos.size else np.zeros(0, dtype=np.int8)
+            # that actually scrub
+            counts_all, pos = flat(rb.column("pos"), np.int64)
+            _, fl = flat(rb.column("flags"), np.int8)
             doc_of_all = np.repeat(np.arange(nd), counts_all)
 
             # exactly one pos=-1 metadata sentinel per document; two
@@ -444,12 +464,8 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
             scrubbed = np.zeros(nd, dtype=bool)
             child_rows: list = []
             if scrub:
-                start = np.concatenate(pdf["start"].to_numpy()) \
-                    .astype(np.int64) if pos.size \
-                    else np.zeros(0, dtype=np.int64)
-                end = np.concatenate(pdf["end"].to_numpy()) \
-                    .astype(np.int64) if pos.size \
-                    else np.zeros(0, dtype=np.int64)
+                _, start = flat(rb.column("start"), np.int64)
+                _, end = flat(rb.column("end"), np.int64)
                 starts_t, ends_t = start[tok_m], end[tok_m]
                 pii_by_doc: dict = {}
                 for i in np.nonzero(pos == -2)[0]:
@@ -499,7 +515,8 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
                 out = pd.concat(
                     [out, pd.DataFrame(krows, columns=COLS)],
                     ignore_index=True)
-            yield out
+            yield pa.RecordBatch.from_pandas(out, schema=out_schema,
+                                             preserve_index=False)
 
     return mapper
 
@@ -555,8 +572,12 @@ def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
                     .alias("toks"))
                .select("url", "n_chars", "lang_pred", "lang_ok", *arr_cols))
     eps_good = bool(total) and (1.0 / (10.0 * total) >= cfg.lm_threshold)
-    reads2 = grouped.mapInPandas(make_reassemble_mapper(cfg, eps_good),
-                                 schema=scoring.READS2_SCHEMA)
+    # mapInArrow, not mapInPandas: the Arrow->pandas conversion of four
+    # 24M-element list columns (one numpy object per row per column +
+    # np.concatenate recopies) cost more than the scoring kernels
+    # themselves — the same measured finding as stage 1's fan-out
+    reads2 = grouped.mapInArrow(make_reassemble_mapper(cfg, eps_good),
+                                schema=scoring.READS2_SCHEMA)
     reads2 = reads2.withColumn(
         "length_s", scoring.length_score_col(F.col("n_chars")))
     return reads2.withColumn("hard_passed", scoring.hard_pass_col(cfg))
