@@ -49,6 +49,22 @@ def _safe_norms(M):
     return np.where(n == 0.0, 1.0, n)
 
 
+def _batch_matrix(list_col, n_rows, dtype=None):
+    """Arrow list<float> column -> (n_rows, dim) float64 matrix by
+    reading the values buffer directly (flatten + reshape — near
+    zero-copy). The pandas route (np.array(list(series))) builds one
+    numpy object per row and re-copies; on billion-vector scans the
+    intake costs more than the BLAS matmul it feeds. Raises if rows
+    are ragged (embeddings must share one dimension)."""
+    import numpy as np
+    flat = list_col.flatten().to_numpy(zero_copy_only=False)
+    if n_rows == 0 or flat.size % n_rows:
+        raise ValueError(
+            f"ragged embedding column: {flat.size} values / {n_rows} rows")
+    out = flat.reshape(n_rows, flat.size // n_rows)
+    return out.astype(np.float64 if dtype is None else dtype, copy=False)
+
+
 def _probe_scan(emb: DataFrame, probe_max_id: int, keep_fn):
     """Shared scaffolding for the exact-cosine family: collect the tiny
     probe side, broadcast it as a normalized numpy matrix, and run ONE
@@ -77,23 +93,28 @@ def _probe_scan(emb: DataFrame, probe_max_id: int, keep_fn):
     bc = emb.sparkSession.sparkContext.broadcast((pids, P, pnorm))
 
     def mapper(batches):
+        import pyarrow as pa
         b_pids, b_p, b_pnorm = bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # Arrow-native intake: flatten()+reshape reads the list
+            # column's values buffer directly — the pandas route built
+            # one numpy object per ROW and re-copied via np.array(list)
+            E = _batch_matrix(rb.column("embedding"), rb.num_rows)
             # oracle op order: dot of RAW vectors / product of norms
             sims = (E @ b_p.T) / (_safe_norms(E)[:, None] * b_pnorm[None, :])
-            vids = pdf["vec_id"].to_numpy()
+            vids = rb.column("vec_id").to_numpy(zero_copy_only=False)
             valid = b_pids[None, :] < vids[:, None]   # probe_id < vec_id
             keep = keep_fn(sims, valid)
             r, c = np.nonzero(keep)
             if len(r):
-                yield pd.DataFrame({"probe_id": b_pids[c],
-                                    "vec_id": vids[r],
-                                    "cos": sims[r, c]})
+                yield pa.record_batch(
+                    [pa.array(b_pids[c]), pa.array(vids[r].astype(np.int64)),
+                     pa.array(sims[r, c])],
+                    names=["probe_id", "vec_id", "cos"])
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInArrow(
         mapper, schema="probe_id long, vec_id long, cos double")
 
 
@@ -232,20 +253,23 @@ def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
     band_ids = np.arange(n_bands, dtype=np.int32)
 
     def mapper(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            E = _batch_matrix(rb.column("embedding"), rb.num_rows)
             qE = np.floor((E - mu) * QUANT + 0.5).astype(np.int64)
             bits = ((qE @ w.T) > 0).astype(np.int64)   # (batch, n_planes)
             keys = bits @ pack                         # (batch, n_bands)
-            vids = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame({
-                "vec_id": np.repeat(vids, n_bands),
-                "band": np.tile(band_ids, len(vids)),
-                "key": keys.reshape(-1)})
+            vids = rb.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            yield pa.record_batch(
+                [pa.array(np.repeat(vids, n_bands)),
+                 pa.array(np.tile(band_ids, len(vids))),
+                 pa.array(keys.reshape(-1))],
+                names=["vec_id", "band", "key"])
 
-    return emb.select("vec_id", "embedding").mapInPandas(mapper, schema)
+    return emb.select("vec_id", "embedding").mapInArrow(mapper, schema)
 
 
 def _pair_cosines(emb: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -267,18 +291,20 @@ def _pair_cosines(emb: DataFrame, pairs: DataFrame) -> DataFrame:
          .join(e.select("vec_id", F.col("embedding").alias("cv")), "vec_id"))
 
     def cos_mapper(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            P = np.array(list(pdf["pv"]), dtype=np.float64)
-            C = np.array(list(pdf["cv"]), dtype=np.float64)
+            P = _batch_matrix(rb.column("pv"), rb.num_rows)
+            C = _batch_matrix(rb.column("cv"), rb.num_rows)
             cos = (np.einsum("ij,ij->i", P, C)
                    / (_safe_norms(P) * _safe_norms(C)))
-            yield pd.DataFrame({"probe_id": pdf["probe_id"].to_numpy(),
-                                "vec_id": pdf["vec_id"].to_numpy(),
-                                "cos": cos})
+            yield pa.record_batch(
+                [rb.column("probe_id"), rb.column("vec_id"),
+                 pa.array(cos)],
+                names=["probe_id", "vec_id", "cos"])
 
-    out = j.select("probe_id", "vec_id", "pv", "cv").mapInPandas(
+    out = j.select("probe_id", "vec_id", "pv", "cv").mapInArrow(
         cos_mapper, schema="probe_id long, vec_id long, cos double")
     return out.withColumn("cos", F.round("cos", 6))
 
@@ -394,18 +420,20 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
     bc = emb.sparkSession.sparkContext.broadcast(centroids)
 
     def mapper(batches):
+        import pyarrow as pa
         C = bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            E = _batch_matrix(rb.column("embedding"), rb.num_rows)
             sims = np.round(E @ C.T, 6)
             # argmax takes the FIRST max -> lowest centroid id on ties
             lists = sims.argmax(axis=1).astype(np.int64)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "list_id": lists})
+            yield pa.record_batch(
+                [rb.column("vec_id"), pa.array(lists)],
+                names=["vec_id", "list_id"])
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInArrow(
         mapper, schema="vec_id long, list_id long")
 
 
@@ -430,24 +458,26 @@ def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
     bc = emb.sparkSession.sparkContext.broadcast((C, nprobe))
 
     def probe_mapper(batches):
+        import pyarrow as pa
         Cv, np_probe = bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            P = np.array(list(pdf["embedding"]), dtype=np.float64)
+            P = _batch_matrix(rb.column("embedding"), rb.num_rows)
             sims = np.round(P @ Cv.T, 6)
             # stable sort on -sims -> ties resolve to the lower list id
             order = np.argsort(-sims, axis=1, kind="stable")[:, :np_probe]
-            ids = np.repeat(pdf["vec_id"].to_numpy(), order.shape[1])
-            yield pd.DataFrame({
-                "probe_id": ids,
-                "list_id": order.reshape(-1).astype(np.int64),
-            })
+            vids = rb.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            yield pa.record_batch(
+                [pa.array(np.repeat(vids, order.shape[1])),
+                 pa.array(order.reshape(-1).astype(np.int64))],
+                names=["probe_id", "list_id"])
 
     probes = (emb.filter(F.col("vec_id") <= probe_max_id)
               .select("vec_id", "embedding")
-              .mapInPandas(probe_mapper,
-                           schema="probe_id long, list_id long"))
+              .mapInArrow(probe_mapper,
+                          schema="probe_id long, list_id long"))
     cand = (assigned.join(probes.select("probe_id", "list_id"), "list_id")
             .filter(F.col("probe_id") != F.col("vec_id"))
             .select("probe_id", "vec_id"))
