@@ -49,12 +49,22 @@ DOCS = "documents"
 _STOP_SQL = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
 
 
-def _docs(spark, sf_dir):
-    return tables.load(spark, sf_dir, "documents")
+def _docs(spark, sf_dir, spread=True):
+    """``spread=False`` skips the unsplittable-input repartition guard
+    (tables.spread) for queries whose plan is a single cheap map or
+    aggregation — there the extra exchange costs more than the
+    parallelism it buys (measured: dedup_exact 0.44 -> 0.98 s with the
+    guard, events_rollup 0.55 -> 1.93 s)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return tables.spread(spark, df) if spread else df
 
 
 def _emb(spark, sf_dir):
-    return tables.load(spark, sf_dir, "embeddings")
+    # spread=False: the ann_* plans filter probes straight off the scan
+    # (PushedFilters) and their numpy passes are matmul-cheap — the
+    # repartition guard only added an exchange and broke the pushdown
+    # (measured: ann_lsh 1.3 -> 2.5 s, ann_ivf 1.4 -> 3.3 s with it).
+    return tables.load(spark, sf_dir, "embeddings", spread=False)
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +122,7 @@ def q_window_quality(spark, sf_dir):
 
 def q_length_score(spark, sf_dir):
     """C5: 100*n/(n+5000) (src/read.cpp:238-244)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return (d.select("doc_id",
                      (100.0 * F.col("n_chars")
                       / (F.col("n_chars") + F.lit(5000.0)))
@@ -291,7 +301,7 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return (dedup_op.exact_dupes(_docs(spark, sf_dir))
+    return (dedup_op.exact_dupes(_docs(spark, sf_dir, spread=False))
             .orderBy("text_hash"))
 
 
@@ -589,7 +599,7 @@ def q_events_rollup(spark, sf_dir):
     hypertable-rollup slot): one partial+final hash aggregate. Money sums
     travel as integer cents, timestamps as epoch micros -> exact."""
     from filtlong_spark.operators import events as ev_op
-    ev = tables.load(spark, sf_dir, "events")
+    ev = tables.load(spark, sf_dir, "events", spread=False)
     return (ev_op.windowed_rollup(ev)
             .orderBy("win_start_us", "event_type"))
 
@@ -598,7 +608,7 @@ def q_events_sessions(spark, sf_dir):
     """Gap-based sessionization (30 min) per user: lag + running-sum
     window, one shuffle on user_id."""
     from filtlong_spark.operators import events as ev_op
-    ev = tables.load(spark, sf_dir, "events")
+    ev = tables.load(spark, sf_dir, "events", spread=False)
     return (ev_op.sessionize(ev, gap_minutes=30)
             .orderBy("user_id", "session_idx"))
 
@@ -669,7 +679,7 @@ def q_split_assign(spark, sf_dir):
     pure function of the document, stable across re-runs/resumes (what
     randomSplit cannot give you across jobs). Map-only."""
     from filtlong_spark.operators import sampling
-    return sampling.split_assign(_docs(spark, sf_dir)).orderBy("doc_id")
+    return sampling.split_assign(_docs(spark, sf_dir, spread=False)).orderBy("doc_id")
 
 
 def q_ppl_buckets(spark, sf_dir):
@@ -708,7 +718,7 @@ def q_host_rank(spark, sf_dir):
     deterministically from the doc key (no html in the testdata; the
     operator documents the real-outlink swap-in)."""
     from filtlong_spark.operators import graph
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return (graph.pagerank_int(graph.host_edges(d), PR_ITERS)
             .orderBy("host"))
 
@@ -766,7 +776,7 @@ def q_blocklist(spark, sf_dir):
     'the blocklist' (broadcast), plus lower-cased substring word rules;
     keep = neither fired."""
     from filtlong_spark.operators import partitioning as pt
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     blocked = (d.select(F.col("source").alias("host")).distinct()
                .filter(F.substring(F.md5(F.col("host").cast("binary")), 1, 1)
                        .isin("0", "1")))
@@ -782,14 +792,14 @@ def q_host_sample(spark, sf_dir):
     p_keep = min(1, sqrt(target/n_host)), decided per doc by a
     deterministic md5 uniform — reproducible across engines."""
     from filtlong_spark.operators import partitioning as pt
-    return (pt.host_temperature_sample(_docs(spark, sf_dir),
+    return (pt.host_temperature_sample(_docs(spark, sf_dir, spread=False),
                                        HOST_SAMPLE_TARGET, alpha=0.5)
             .orderBy("doc_id"))
 
 
 def q_dup_check(spark, sf_dir):
     """A4: duplicate-key data-quality gate (src/main.cpp:113-117)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return (d.groupBy("doc_id").agg(F.count("*").alias("n"))
             .filter(F.col("n") > 1).orderBy("doc_id"))
 

@@ -272,17 +272,71 @@ def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
     return emb.select("vec_id", "embedding").mapInArrow(mapper, schema)
 
 
-def _pair_cosines(emb: DataFrame, pairs: DataFrame) -> DataFrame:
-    """(probe_id, vec_id) candidate pairs -> + cosine: re-join the RAW
-    embeddings on both sides (two equi-joins on vec_id; AQE broadcasts
-    when the pair set is small) and compute cos = dot(raw)/(|p|*|c|) in
-    one vectorized numpy pass — the oracle's operation order — rounded
-    to 6dp JVM-side (Spark/DuckDB share HALF_UP)."""
+# corpus size cap for the broadcast-gather cosine path: n * (dim*8 + 8)
+# bytes of float64 matrix must fit comfortably in every executor (and
+# the driver pulls it once). Above the cap, fall back to the join path.
+PAIR_COS_BROADCAST_BYTES = 64 << 20
+
+
+def _pair_cosines(emb: DataFrame, pairs: DataFrame,
+                  prefer_broadcast: bool = True) -> DataFrame:
+    """(probe_id, vec_id) candidate pairs -> + cosine, in the oracle's
+    operation order (dot of RAW doubles / product of norms), rounded to
+    6dp JVM-side (Spark/DuckDB share HALF_UP).
+
+    Two physical shapes (guide §8: decide with small rows, move big
+    rows once):
+
+    - corpus fits PAIR_COS_BROADCAST_BYTES: broadcast the (n, dim)
+      float64 matrix once and compute every pair's cosine in a map-only
+      Arrow pass over the (probe_id, vec_id) INT pairs — the pair
+      stream never carries embedding payloads (the join path shipped
+      2 x dim floats per candidate through the exchange AND the Python
+      boundary: ~1.6 GB for dedup_text_embedding's 6.4M sf1.0
+      candidates vs ~100 MB of int pairs here).
+    - larger corpus: the original two equi-joins on vec_id (AQE
+      broadcasts when a side is small) + vectorized numpy cosines —
+      the 100 TB shape where the corpus cannot broadcast."""
     import numpy as np
     import pandas as pd
 
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
+
+    first = emb.select("embedding").first() if prefer_broadcast else None
+    if first is not None:
+        dim = len(first["embedding"])
+        n = emb.count()
+        if n * (dim * 8 + 8) <= PAIR_COS_BROADCAST_BYTES:
+            pdf = emb.select("vec_id", "embedding").toPandas()
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            order = np.argsort(ids, kind="stable")
+            ids, M = ids[order], M[order]
+            norms = _safe_norms(M)
+            bc = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+            def gather_mapper(batches):
+                import pyarrow as pa
+                b_ids, b_m, b_norms = bc.value
+                for rb in batches:
+                    if not rb.num_rows:
+                        continue
+                    p = rb.column("probe_id").to_numpy(zero_copy_only=False)
+                    c = rb.column("vec_id").to_numpy(zero_copy_only=False)
+                    pi = np.searchsorted(b_ids, p)
+                    ci = np.searchsorted(b_ids, c)
+                    P, C = b_m[pi], b_m[ci]
+                    cos = (np.einsum("ij,ij->i", P, C)
+                           / (b_norms[pi] * b_norms[ci]))
+                    yield pa.record_batch(
+                        [rb.column("probe_id"), rb.column("vec_id"),
+                         pa.array(cos)],
+                        names=["probe_id", "vec_id", "cos"])
+
+            out = pairs.select("probe_id", "vec_id").mapInArrow(
+                gather_mapper, schema="probe_id long, vec_id long, cos double")
+            return out.withColumn("cos", F.round("cos", 6))
 
     e = emb.select("vec_id", "embedding")
     j = (pairs
@@ -313,7 +367,8 @@ def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
                         max_bucket: int | None = MAX_BAND_BUCKET,
                         n_bands: int = LSH_BANDS,
                         band_bits: int = BAND_BITS,
-                        center: bool = False) -> DataFrame:
+                        center: bool = False,
+                        distinct: bool = True) -> DataFrame:
     """Distinct (probe_id, vec_id) candidate pairs, probe_id < vec_id,
     agreeing on at least one capped band. probe_max_id=None -> whole-corpus
     self-join (dedup); otherwise only probes with vec_id <= probe_max_id.
@@ -334,10 +389,14 @@ def lsh_candidate_pairs(emb: DataFrame, probe_max_id: int | None = None,
     probes = bands.select(F.col("vec_id").alias("probe_id"), "band", "key")
     if probe_max_id is not None:
         probes = probes.filter(F.col("probe_id") <= probe_max_id)
-    return (bands.join(probes, ["band", "key"])
-            .filter(F.col("probe_id") < F.col("vec_id"))
-            .select("probe_id", "vec_id")
-            .distinct())
+    out = (bands.join(probes, ["band", "key"])
+           .filter(F.col("probe_id") < F.col("vec_id"))
+           .select("probe_id", "vec_id"))
+    # distinct=False defers pair dedup to AFTER the cosine filter (a
+    # pair matching several bands yields the same rounded cosine, so
+    # dedup commutes with the filter): the exchange+hash-agg then runs
+    # on the few surviving rows instead of every multi-band candidate.
+    return out.distinct() if distinct else out
 
 
 def ann_lsh_candidates(emb: DataFrame, probe_max_id: int,
@@ -351,8 +410,11 @@ def ann_lsh_candidates(emb: DataFrame, probe_max_id: int,
     probe set is too large to broadcast. Returns (probe_id, vec_id, cos),
     rounded to 6dp for cross-engine determinism."""
     cand = lsh_candidate_pairs(emb, probe_max_id, max_bucket,
-                               n_bands, band_bits, center)
-    return _pair_cosines(emb, cand)
+                               n_bands, band_bits, center, distinct=False)
+    # probe-bounded candidate sets are small: the join path (AQE
+    # broadcasts the pair side) beats paying the gather-matrix setup
+    return _pair_cosines(emb, cand,
+                         prefer_broadcast=probe_max_id is None).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -481,7 +543,7 @@ def ann_ivf_topk(emb: DataFrame, probe_max_id: int, k: int = 5,
     cand = (assigned.join(probes.select("probe_id", "list_id"), "list_id")
             .filter(F.col("probe_id") != F.col("vec_id"))
             .select("probe_id", "vec_id"))
-    pairs = _pair_cosines(emb, cand)
+    pairs = _pair_cosines(emb, cand, prefer_broadcast=False)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"),
                                                F.asc("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -542,8 +604,18 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     Near-identical vectors (theta ~ 0) agree on a full 16-bit band with
     prob ~(1-theta/pi)^16 per band, any of 4 bands -> recall ~1 on true
     near-dups, while unrelated vectors almost never share a band."""
+    # The emb plan is consumed ~5x (dim probe, corpus mean when
+    # centering, band keys, and BOTH sides of the candidate cosine
+    # re-join). When emb is an expensive computed plan — embed_text's
+    # Arrow tokenize+md5 pass in dedup_text_embedding — every consumer
+    # re-ran the whole Python stage. Materialize it once (~(dim+1)*8
+    # bytes/row); eager so an upstream Observation is never poisoned
+    # (see dedup.lsh_candidate_pairs). Measured: dedup_text_embedding
+    # 16.8 -> ~4 s at sf1.0.
+    emb = emb.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(emb, None, max_bucket, n_bands, band_bits,
-                               center)
+                               center, distinct=False)
     return (_pair_cosines(emb, cand)
             .filter(F.col("cos") >= threshold)
-            .select("probe_id", "vec_id", "cos"))
+            .select("probe_id", "vec_id", "cos")
+            .distinct())

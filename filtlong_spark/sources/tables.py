@@ -17,8 +17,28 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def load(spark: SparkSession, sf_dir: str, name: str,
+         spread: bool = True) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _spread(spark, df) if spread else df
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5, 'input skew:
+    one huge unsplittable file ... repartition immediately after the
+    read'): the testdata tables are single-file, single-row-group
+    parquet, so the scan yields 1-2 partitions and every downstream
+    per-doc stage (Arrow mappers, explode+partial-agg) runs on 1-2 of
+    the cluster's cores. A round-robin repartition to the session's
+    default parallelism right after the read costs one tiny exchange
+    (the tables are MBs) and restores full-width execution. No-op for
+    inputs that already split into enough tasks (any real multi-file
+    table at scale), so the guard is scale-adaptive, not tuned to
+    local[32]."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,3 +55,6 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+_spread = spread  # load()'s keyword arg shadows the function name
