@@ -274,6 +274,58 @@ def _batch_tokenize_slow(texts, doc_starts, blob) -> "TokenBatch":
                       doc_starts, blob)
 
 
+def batch_token_array(tb: "TokenBatch"):
+    """The batch's flat token list as ONE pyarrow StringArray, built
+    directly from the blob's byte buffer for ASCII batches (a vectorized
+    gather of each token's byte range + an offsets cumsum — zero Python
+    string objects; pa.array(list_of_str) measured ~1.6 us/token, the
+    single hottest step of any window kernel). Non-ASCII batches fall
+    back to pa.array over the Python tokens (codepoint offsets are not
+    byte offsets there). Element i equals tb.tokens[i] exactly."""
+    import pyarrow as pa
+    n = len(tb.tokens)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    if not tb.blob.isascii():
+        return pa.array(tb.tokens, type=pa.string())
+    blob_b = np.frombuffer(tb.blob.encode("ascii"), dtype=np.uint8)
+    gstarts = tb.doc_starts[tb.doc_of] + tb.starts
+    lens = tb.ends - tb.starts
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    # concat of ranges [gstarts[i], gstarts[i]+lens[i]) as one gather
+    idx = np.repeat(gstarts - offsets[:-1], lens) + np.arange(total)
+    values = blob_b[idx]
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(values))
+
+
+def flat_ngram_windows(tb: "TokenBatch", n: int):
+    """(doc_of, pos, windows): EVERY n-token window of every doc in the
+    batch — windows as the space-joined strings (bit-identical to
+    ' '.join(tokens[i:i+n])), built for the whole batch at once with n
+    shifted Arrow slices + one binary_join_element_wise C++ kernel.
+    pos is the 1-based window start position within its doc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    T = len(tb.tokens)
+    empty = np.zeros(0, dtype=np.int64)
+    if T < n:
+        return empty, empty, pa.array([], type=pa.string())
+    toks = batch_token_array(tb)
+    m = T - n + 1
+    wins = pc.binary_join_element_wise(*[toks.slice(i, m) for i in range(n)],
+                                       " ")
+    valid = tb.doc_of[:m] == tb.doc_of[n - 1:]
+    idx = np.nonzero(valid)[0]
+    off = np.zeros(tb.counts.size + 1, dtype=np.int64)
+    np.cumsum(tb.counts, out=off[1:])
+    d = tb.doc_of[idx]
+    pos = idx - off[d] + 1
+    return d, pos, wins.take(pa.array(idx))
+
+
 def flat_token_quality(tokens_flat: list[str], accepted) -> np.ndarray:
     """Vectorized 0/1 painting of a flat token list: pandas isin (a C hash
     probe) instead of a per-token Python loop. Identical to token_quality

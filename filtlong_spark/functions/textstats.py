@@ -98,34 +98,62 @@ def langid_df(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 def repetition_stats(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Gopher-style REPETITION signals (the north_star's 'repetition'
     heuristic): (key, n_bigrams, top_bigram_n, top_bigram_frac,
-    dup_token_frac). Bigrams come from arrays_zip(slice, slice) — pure
-    codegen array functions, no interpreted HOF and no window shuffle —
-    then one hash aggregate per (doc, bigram) and a max per doc."""
-    toks = tokens_col()
-    n = F.size(toks)
-    bigrams = docs.select(
-        key,
-        F.explode(F.arrays_zip(
-            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))))).alias("bg"))
-    counts = (bigrams.groupBy(key, "bg")
-              .agg(F.count("*").alias("c"))
-              .groupBy(key)
-              .agg(F.sum("c").alias("n_bigrams"),
-                   F.max("c").alias("top_bigram_n")))
-    base = docs.select(key, n.alias("n_tokens"),
-                       F.size(F.array_distinct(toks)).alias("n_distinct"))
-    return (base.join(counts, key, "left")
-            .select(key, F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-                    F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
-                    F.when(F.col("n_bigrams") > 0,
-                           F.col("top_bigram_n").cast("double")
-                           / F.col("n_bigrams")).otherwise(F.lit(0.0))
-                    .alias("top_bigram_frac"),
-                    F.when(F.col("n_tokens") > 0,
-                           1.0 - F.col("n_distinct").cast("double")
-                           / F.col("n_tokens")).otherwise(F.lit(0.0))
-                    .alias("dup_token_frac")))
+    dup_token_frac).
+
+    Physical shape: every statistic is doc-local, so the whole operator
+    is ONE map-only Arrow pass — flat batch tokenization
+    (core.batch_tokenize, the scoring pipeline's kernel), bigram
+    windows via shifted-slice binary_join (core.flat_ngram_windows; a
+    \\S+ token never contains a space, so the joined string is a
+    bijective bigram key), and an Arrow C++ hash group_by per (doc,
+    bigram) — zero shuffle, zero exchange (the previous explode +
+    two-level hash aggregate + join-back paid a (doc, bigram)-grain
+    exchange carrying gram structs). All-integer counts, identical
+    divides -> the repetition oracle row stays bit-exact."""
+    from .scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        for pdf in batches:
+            keys = np.asarray(pdf[key], dtype=np.int64)
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            nd = len(texts)
+            tb = core.batch_tokenize(texts)
+            n_tok = tb.counts
+            top_n = np.zeros(nd, dtype=np.int64)
+            n_distinct = np.zeros(nd, dtype=np.int64)
+            d2, _, w2 = core.flat_ngram_windows(tb, 2)
+            if len(d2):
+                cnt = (pa.table({"d": pa.array(d2), "g": w2})
+                       .group_by(["d", "g"]).aggregate([([], "count_all")]))
+                dd = cnt.column("d").to_numpy()
+                cc = cnt.column("count_all").to_numpy()
+                np.maximum.at(top_n, dd, cc)
+            if tb.tokens:
+                toks = core.batch_token_array(tb)
+                dcnt = (pa.table({"d": pa.array(tb.doc_of), "g": toks})
+                        .group_by(["d", "g"]).aggregate([([], "count_all")]))
+                du = dcnt.column("d").to_numpy()
+                np.add.at(n_distinct, du, 1)
+            n_big = np.maximum(n_tok - 1, 0)
+            top_frac = np.where(
+                n_big > 0, top_n.astype(np.float64) / np.maximum(n_big, 1),
+                0.0)
+            dup_frac = np.where(
+                n_tok > 0,
+                1.0 - n_distinct.astype(np.float64) / np.maximum(n_tok, 1),
+                0.0)
+            yield pd.DataFrame({
+                key: keys, "n_bigrams": n_big, "top_bigram_n": top_n,
+                "top_bigram_frac": top_frac, "dup_token_frac": dup_frac})
+
+    return docs.select(key, "text").mapInPandas(
+        mapper, schema=f"{key} long, n_bigrams long, top_bigram_n long, "
+                       "top_bigram_frac double, dup_token_frac double")
 
 
 def _ngram_col(n: int) -> Column:
@@ -176,7 +204,19 @@ def ngram_repetition_stats(docs: DataFrame, key: str = "doc_id",
     order, but ties of unequal length can pick a different gram than
     the string mode, so the pct can differ exactly there).
     All-integer counts; the single divide per ratio happens in the
-    same order in the DuckDB oracle, so values are bit-identical."""
+    same order in the DuckDB oracle, so values are bit-identical.
+
+    Physical shape (string mode): every statistic is doc-local, so the
+    default path is ONE map-only Arrow pass — flat batch tokenization,
+    n-gram windows via shifted-slice binary_join
+    (core.flat_ngram_windows), Arrow C++ hash group_by per (doc, gram),
+    and a (d asc, count desc, gram asc) sort for the deterministic
+    top-gram pick — zero shuffle (the previous two explode +
+    (doc, gram)-grain exchanges carried gram STRINGS). The text-free
+    hash mode below keeps its Catalyst shape (its exchange is the
+    point: it proves the 100 TB text-free shuffle)."""
+    if carry_gram_strings:
+        return _ngram_repetition_flat(docs, key, top_n, dup_n)
     n_chars = F.length("text").alias("n_chars")
     base = docs.select(key, n_chars)
 
@@ -230,6 +270,83 @@ def ngram_repetition_stats(docs: DataFrame, key: str = "doc_id",
                        & (F.col("n_chars") > 0),
                        (100.0 * F.col("dup_chars")) / F.col("n_chars"))
                 .otherwise(F.lit(0.0)).alias(f"dup_{dup_n}gram_pct")))
+
+
+def _ngram_repetition_flat(docs: DataFrame, key: str,
+                           top_n: int, dup_n: int) -> DataFrame:
+    """Map-only Arrow rendering of ngram_repetition_stats' string mode
+    (see its docstring). Identical output: same windows, same counts,
+    same (count desc, gram asc) tie-break (Arrow's binary sort order ==
+    Spark's UTF8 binary compare), same divide order."""
+    from .scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for pdf in batches:
+            keys = np.asarray(pdf[key], dtype=np.int64)
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            nd = len(texts)
+            n_chars = np.fromiter((len(t) for t in texts),
+                                  dtype=np.int64, count=nd)
+            tb = core.batch_tokenize(texts)
+
+            top_c = np.zeros(nd, dtype=np.int64)
+            top_len = np.zeros(nd, dtype=np.int64)
+            top_gram = np.full(nd, "", dtype=object)
+            has_top = np.zeros(nd, dtype=bool)
+            d3, _, w3 = core.flat_ngram_windows(tb, top_n)
+            if len(d3):
+                cnt = (pa.table({"d": pa.array(d3), "g": w3})
+                       .group_by(["d", "g"]).aggregate([([], "count_all")]))
+                order = pc.sort_indices(cnt, sort_keys=[
+                    ("d", "ascending"), ("count_all", "descending"),
+                    ("g", "ascending")])
+                cnt = cnt.take(order)
+                dd = cnt.column("d").to_numpy()
+                first = np.unique(dd, return_index=True)[1]
+                sel_d = dd[first]
+                gsel = cnt.column("g").take(pa.array(first)).combine_chunks()
+                top_c[sel_d] = cnt.column("count_all").to_numpy()[first]
+                top_len[sel_d] = pc.utf8_length(gsel).to_numpy()
+                top_gram[sel_d] = gsel.to_pylist()
+                has_top[sel_d] = True
+
+            dup_chars = np.zeros(nd, dtype=np.int64)
+            has_dup = np.zeros(nd, dtype=bool)
+            d5, _, w5 = core.flat_ngram_windows(tb, dup_n)
+            if len(d5):
+                cnt5 = (pa.table({"d": pa.array(d5), "g": w5})
+                        .group_by(["d", "g"]).aggregate([([], "count_all")]))
+                c5 = cnt5.column("count_all").to_numpy()
+                mask = c5 >= 2
+                if mask.any():
+                    du = cnt5.column("d").to_numpy()[mask]
+                    glen = pc.utf8_length(
+                        cnt5.column("g").combine_chunks()).to_numpy()[mask]
+                    np.add.at(dup_chars, du, (c5[mask] - 1) * glen)
+                    has_dup[du] = True
+
+            safe_n = np.maximum(n_chars, 1)
+            top_pct = np.where(
+                has_top & (n_chars > 0),
+                (100.0 * top_c * top_len) / safe_n, 0.0)
+            dup_pct = np.where(
+                has_dup & (n_chars > 0),
+                (100.0 * dup_chars) / safe_n, 0.0)
+            yield pd.DataFrame({
+                key: keys, "top_gram": top_gram,
+                f"top_{top_n}gram_pct": top_pct,
+                f"dup_{dup_n}gram_pct": dup_pct})
+
+    return docs.select(key, "text").mapInPandas(
+        mapper, schema=f"{key} long, top_gram string, "
+                       f"top_{top_n}gram_pct double, "
+                       f"dup_{dup_n}gram_pct double")
 
 
 FINGERPRINT_MOD = 1_000_000_007

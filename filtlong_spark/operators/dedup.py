@@ -25,29 +25,39 @@ NORM_EXPR = "replace(text, ' dup', '')"  # testdata near-dup normalizer
 
 def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle): distinct word n-gram shingles per doc, built
-    MAP-SIDE in an Arrow-batched pandas pass — zero shuffle, parallelism =
-    input partitions. (Both alternatives measured far worse: array-HOF
-    shingling is interpreted per element, and a lead()-window formulation
-    shuffles and then AQE coalesces the tiny-by-bytes but CPU-heavy
-    downstream md5 work onto 1-2 tasks.)"""
-    import pandas as pd
-
+    MAP-SIDE in one Arrow pass — zero shuffle, parallelism = input
+    partitions. Fully vectorized (the round-5 per-doc Python loop with
+    a per-shingle ' '.join is gone): flat batch tokenization
+    (core.batch_tokenize), all windows via shifted-slice binary_join
+    (core.flat_ngram_windows), per-doc distinct via an Arrow C++ hash
+    group_by, and the result yielded as a RecordBatch — shingle strings
+    never materialize as Python objects. (A Catalyst array-HOF
+    formulation stays rejected: interpreted per element; a lead()-window
+    one shuffles.)"""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
     from .. import core  # definition-time capture -> pickled by value
 
     def mapper(batches):
-        for pdf in batches:
-            ids, shingles = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [m.group(0) for m in core.TOKEN_RE.finditer(text or "")]
-                seen = {" ".join(toks[i:i + n])
-                        for i in range(len(toks) - n + 1)}
-                ids.extend([doc_id] * len(seen))
-                shingles.extend(seen)
-            yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
+        import numpy as np
+        import pyarrow as pa
+        for rb in batches:
+            texts = [t if t is not None else ""
+                     for t in rb.column("text").to_pylist()]
+            ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            tb = core.batch_tokenize(texts)
+            d, _, wins = core.flat_ngram_windows(tb, n)
+            if not len(d):
+                continue
+            uniq = (pa.table({"d": pa.array(d), "shingle": wins})
+                    .group_by(["d", "shingle"]).aggregate([]))
+            du = uniq.column("d").to_numpy()
+            yield pa.record_batch(
+                [pa.array(ids[du].astype(np.int64)),
+                 uniq.column("shingle").combine_chunks()],
+                names=["doc_id", "shingle"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInArrow(
         mapper, schema="doc_id long, shingle string")
 
 
@@ -532,35 +542,58 @@ def decontaminate(docs: DataFrame, bench_docs: DataFrame,
                     .alias("contaminated")))
 
 
+def _md5_60_arrow(arr) -> "np.ndarray":
+    """60-bit md5 prefix of every element of an Arrow StringArray,
+    hashing the utf-8 VALUE BUFFER directly through memoryview slices —
+    no Python string objects, no hexdigest parse
+    (int.from_bytes(digest[:8]) >> 4 == int(hexdigest[:15], 16))."""
+    import hashlib
+
+    import numpy as np
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + n + 1]
+    mv = memoryview(arr.buffers()[2])
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(mv[offs[i]:offs[i + 1]]).digest()[:8],
+                        "big") >> 4 for i in range(n)),
+        dtype=np.int64, count=n)
+
+
 def _doc_windows(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, pos, whash): EVERY k-token window of every doc (1-based
     start position, NOT distinct — within-doc repeats count), whash =
     60-bit md5 prefix of the space-joined window. Hashing happens inside
     the Arrow mapper so the exchange downstream carries 16-byte rows,
-    never window text. Zero shuffle here; parallelism = input
-    partitions."""
-    import hashlib
-
-    import pandas as pd
-
+    never window text. Zero shuffle; vectorized end-to-end (the round-5
+    per-window ' '.join + hexdigest loop is gone): windows via
+    core.flat_ngram_windows, md5 via _md5_60_arrow over the Arrow value
+    buffer."""
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
     from .. import core
 
     def mapper(batches):
-        for pdf in batches:
-            ids, poss, hs = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [m.group(0) for m in core.TOKEN_RE.finditer(text or "")]
-                for i in range(len(toks) - k + 1):
-                    win = " ".join(toks[i:i + k])
-                    ids.append(doc_id)
-                    poss.append(i + 1)
-                    hs.append(int(
-                        hashlib.md5(win.encode()).hexdigest()[:15], 16))
-            yield pd.DataFrame({"doc_id": ids, "pos": poss, "whash": hs})
+        import numpy as np
+        import pyarrow as pa
+        for rb in batches:
+            texts = [t if t is not None else ""
+                     for t in rb.column("text").to_pylist()]
+            ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            tb = core.batch_tokenize(texts)
+            d, pos, wins = core.flat_ngram_windows(tb, k)
+            if not len(d):
+                continue
+            yield pa.record_batch(
+                [pa.array(ids[d].astype(np.int64)),
+                 pa.array(pos.astype(np.int32)),
+                 pa.array(_md5_60_arrow(wins))],
+                names=["doc_id", "pos", "whash"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInArrow(
         mapper, schema="doc_id long, pos int, whash long")
 
 
@@ -604,27 +637,61 @@ def substring_dedup(docs: DataFrame, k: int = 8,
               .join(per_doc, "doc_id", "left"))
 
     def rebuild(batches):
-        for pdf in batches:
-            out = {"doc_id": [], "n_windows": [], "dup_windows": [],
-                   "dup_frac": [], "clean_text": []}
-            for doc_id, text, dup_pos in zip(
-                    pdf["doc_id"], pdf["text"], pdf["dup_pos"]):
-                toks = [m.group(0)
-                        for m in core.TOKEN_RE.finditer(text or "")]
-                n_win = max(len(toks) - k + 1, 0)
-                dp = [] if dup_pos is None else sorted(dup_pos)
-                covered = np.zeros(len(toks), dtype=bool)
-                for p in dp:
-                    covered[p - 1:p - 1 + k] = True
-                out["doc_id"].append(doc_id)
-                out["n_windows"].append(n_win)
-                out["dup_windows"].append(len(dp))
-                out["dup_frac"].append(
-                    len(dp) / n_win if n_win > 0 else 0.0)
-                out["clean_text"].append(
-                    " ".join(t for t, c in zip(toks, covered) if not c))
-            yield pd.DataFrame(out)
+        # vectorized (round-5 looped per doc, re-tokenizing and joining
+        # in Python): flat batch tokenize, covered-token mask via an
+        # interval diff array + cumsum, survivor re-join via the Arrow
+        # C++ binary_join over one ListArray — identical output
+        # (windows never straddle docs, so every [p-1, p-1+k) interval
+        # stays inside its doc's token range).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for rb in batches:
+            ids = rb.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            texts = [t if t is not None else ""
+                     for t in rb.column("text").to_pylist()]
+            nd = len(texts)
+            tb = core.batch_tokenize(texts)
+            counts = tb.counts
+            T = len(tb.tokens)
+            off = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            dp_col = rb.column("dup_pos").to_pylist()
+            dup_n = np.fromiter(
+                (0 if v is None else len(v) for v in dp_col),
+                dtype=np.int64, count=nd)
+            covered = np.zeros(T, dtype=bool)
+            if dup_n.sum():
+                flat_d = np.repeat(np.arange(nd), dup_n)
+                flat_p = np.concatenate(
+                    [np.asarray(v, dtype=np.int64)
+                     for v in dp_col if v is not None and len(v)])
+                starts = off[flat_d] + flat_p - 1
+                diff = np.zeros(T + 1, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + k, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+            keep = ~covered
+            surv = np.bincount(tb.doc_of[keep], minlength=nd) \
+                if T else np.zeros(nd, dtype=np.int64)
+            soff = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(surv, out=soff[1:])
+            values = core.batch_token_array(tb).filter(
+                pa.array(keep)) if T else pa.array([], type=pa.string())
+            clean = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(soff, type=pa.int32()), values),
+                " ")
+            n_win = np.maximum(counts - k + 1, 0)
+            dup_frac = np.where(
+                n_win > 0, dup_n / np.maximum(n_win, 1), 0.0)
+            yield pa.record_batch(
+                [pa.array(ids), pa.array(n_win.astype(np.int32)),
+                 pa.array(dup_n.astype(np.int32)), pa.array(dup_frac),
+                 clean],
+                names=["doc_id", "n_windows", "dup_windows", "dup_frac",
+                       "clean_text"])
 
-    return joined.mapInPandas(
+    return joined.mapInArrow(
         rebuild, schema="doc_id long, n_windows int, dup_windows int, "
                         "dup_frac double, clean_text string")
