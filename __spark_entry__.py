@@ -202,24 +202,27 @@ def q_scrub_children(spark, sf_dir):
     points; children = complementary spans, named {id}_{start+1}-{end}
     (src/read.cpp:88-141). Text returned as md5 for compact comparison."""
     s = _scored(spark, sf_dir, with_spans=True)
-    parents = (s.filter(~F.col("scrubbed"))
-               .select(F.col("doc_id").cast("string").alias("child_id"),
-                       F.lit(0).alias("start"),
-                       F.col("n_chars").cast("int").alias("end"),
-                       F.md5(F.col("text").cast("binary")).alias("text_md5")))
-    children = (s.filter(F.col("scrubbed"))
-                .select("doc_id", "text", F.explode("child_spans").alias("sp"))
-                .select(
-                    F.concat_ws("", F.col("doc_id").cast("string"), F.lit("_"),
-                                (F.col("sp.start") + 1).cast("string"),
-                                F.lit("-"), F.col("sp.end").cast("string"))
-                    .alias("child_id"),
-                    F.col("sp.start").alias("start"),
-                    F.col("sp.end").alias("end"),
-                    F.md5(F.substring("text", F.col("sp.start") + 1,
-                                      F.col("sp.end") - F.col("sp.start"))
-                          .cast("binary")).alias("text_md5")))
-    return parents.unionByName(children).orderBy("child_id")
+    # ONE pass instead of a parents/children union: the scorer already
+    # gives unscrubbed docs a single full-doc span ([0, n_chars] — see
+    # scoring._score_batch), so exploding child_spans unconditionally
+    # yields the parent rows too (md5(substring(text,1,n_chars)) ==
+    # md5(text) byte-for-byte) — the union's two filtered branches each
+    # re-evaluated the whole Arrow scoring UDF (2x ArrowEvalPython).
+    scrubbed = F.col("scrubbed")
+    e = s.select("doc_id", "text", "scrubbed",
+                 F.explode("child_spans").alias("sp"))
+    return (e.select(
+        F.when(scrubbed,
+               F.concat_ws("", F.col("doc_id").cast("string"), F.lit("_"),
+                           (F.col("sp.start") + 1).cast("string"),
+                           F.lit("-"), F.col("sp.end").cast("string")))
+        .otherwise(F.col("doc_id").cast("string")).alias("child_id"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+        F.md5(F.substring("text", F.col("sp.start") + 1,
+                          F.col("sp.end") - F.col("sp.start"))
+              .cast("binary")).alias("text_md5"))
+        .orderBy("child_id"))
 
 
 def q_langid(spark, sf_dir):
@@ -444,7 +447,11 @@ def q_lm_quality(spark, sf_dir):
                     F.posexplode(F.expr(ts.TOKENS)).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     toks = toks.withColumn("prev", F.lag("tok").over(w))
-    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    # c1 is consumed three times (the driver-side total and both count
+    # joins); materializing the tiny distinct-token table once saves a
+    # full explode+window+aggregate recompute for the total collect
+    c1 = (toks.groupBy("tok").agg(F.count("*").alias("c1"))
+          .localCheckpoint(eager=True))
     total = c1.agg(F.sum("c1")).collect()[0][0]
     c2 = (toks.filter(F.col("prev").isNotNull())
           .groupBy("prev", "tok").agg(F.count("*").alias("c2")))

@@ -72,8 +72,11 @@ def _score_batch(texts: pd.Series, accepted, cfg_dict: dict) -> pd.DataFrame:
     want_spans = trim or split is not None
     texts = [t if isinstance(t, str) else "" for t in texts]
     nd = len(texts)
-    tb = core.batch_tokenize(texts)
-    if isinstance(accepted, tuple) and accepted and accepted[0] == "lm":
+    is_lm = isinstance(accepted, tuple) and accepted and accepted[0] == "lm"
+    # non-LM painting reads tokens from the blob buffer (pyarrow is_in)
+    # so the findall that builds per-token Python strings is skipped
+    tb = core.batch_tokenize(texts, need_tokens=bool(is_lm))
+    if is_lm:
         qfn = core.quality_for(accepted)
         parts, o = [], 0
         for c in tb.counts:
@@ -81,7 +84,7 @@ def _score_batch(texts: pd.Series, accepted, cfg_dict: dict) -> pd.DataFrame:
             o += int(c)
         q = np.concatenate(parts) if parts else np.zeros(0)
     else:
-        q = core.flat_token_quality(tb.tokens, accepted)
+        q = core.flat_token_quality_batch(tb, accepted)
     mean, win = core.flat_mean_window(q, tb.counts, window_size)
     ratio = core.flat_window_ratio(mean, win)
     n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nd)
@@ -122,7 +125,15 @@ def make_score_udf(accepted_bc, cfg: FilterConfig):
     def score_udf(texts: pd.Series) -> pd.DataFrame:
         return _score_batch(texts, accepted_bc.value, cfg_dict)
 
-    return score_udf
+    # non-deterministic ON PURPOSE (optimization guide §4.4): a filter
+    # or generator null-guard on a UDF-derived column (e.g. explode of
+    # child_spans) otherwise gets pushed below the projection with its
+    # own COPY of the UDF — the plan then scores every document twice
+    # (observed: two ArrowEvalPython nodes in scrub_children, one below
+    # the repartition at input-partition parallelism). The scorer is a
+    # pure function of text, so the annotation changes nothing
+    # semantically; it only forbids duplication/reordering.
+    return score_udf.asNondeterministic()
 
 
 READS2_SCHEMA = ("url string, parent_url string, "
@@ -184,8 +195,9 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
             "lang_pred", "lang_ok"]
 
     def _flat_quality(tb, accepted):
-        """Batch painting: one C-speed isin probe for set payloads; the
-        bigram-LM painter stays per-doc (order-dependent chain)."""
+        """Batch painting: a C-level membership probe for set payloads
+        (blob-buffer is_in — no Python token strings); the bigram-LM
+        painter stays per-doc (order-dependent chain)."""
         import numpy as np
         if isinstance(accepted, tuple) and accepted and accepted[0] == "lm":
             qfn = core.quality_for(accepted)
@@ -196,7 +208,7 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
                 parts.append(qfn(tb.tokens[o:o + int(c)]))
                 o += int(c)
             return np.concatenate(parts) if parts else np.zeros(0)
-        return core.flat_token_quality(tb.tokens, accepted)
+        return core.flat_token_quality_batch(tb, accepted)
 
     def mapper(batches):
         import numpy as np
@@ -211,9 +223,11 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
             urls = pdf["url"].tolist()
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
             nd = len(texts)
-            tb = core.batch_tokenize(texts)
-            counts = tb.counts
             accepted = accepted_bc.value
+            is_lm = (isinstance(accepted, tuple) and accepted
+                     and accepted[0] == "lm")
+            tb = core.batch_tokenize(texts, need_tokens=bool(is_lm))
+            counts = tb.counts
 
             if langid:
                 pred, _conf = core.flat_predict_lang_texts(texts)
@@ -256,7 +270,7 @@ def make_reads2_mapper(accepted_bc, cfg: FilterConfig):
             if child_rows:
                 # children re-score through the SAME flat kernels
                 ctexts = [texts[d][s:e] for d, s, e in child_rows]
-                ctb = core.batch_tokenize(ctexts)
+                ctb = core.batch_tokenize(ctexts, need_tokens=bool(is_lm))
                 ccounts = ctb.counts
                 cq = _flat_quality(ctb, accepted)
                 cmean, cwin = core.flat_mean_window(cq, ccounts, window_size)

@@ -133,7 +133,7 @@ def repetition_stats(docs: DataFrame, key: str = "doc_id") -> DataFrame:
                 dd = cnt.column("d").to_numpy()
                 cc = cnt.column("count_all").to_numpy()
                 np.maximum.at(top_n, dd, cc)
-            if tb.tokens:
+            if tb.starts.size:
                 toks = core.batch_token_array(tb)
                 dcnt = (pa.table({"d": pa.array(tb.doc_of), "g": toks})
                         .group_by(["d", "g"]).aggregate([([], "count_all")]))

@@ -353,30 +353,75 @@ def line_dedup(docs: DataFrame, min_df: int = LINE_DEDUP_MIN_DF,
     lines re-join in original order. Blank lines are never counted as
     boilerplate (they'd all collapse onto one key).
 
-    Scale shape: two line-grain shuffles (the distinct-doc count and
-    the anti-join, both keyed on line content — partial aggregation
-    collapses repeats map-side, and the boilerplate table the anti-join
-    builds is tiny by construction) plus one doc-grain reassembly;
-    no all-pairs anything. Mirrored exactly by the dedup_lines DuckDB
-    oracle."""
+    Scale shape: ONE line-grain shuffle of (md5-60 hash, doc_id) int
+    pairs — line TEXT never rides an exchange (the round-5 shape
+    shuffled line strings through the count, an anti-join, and a
+    collect_list reassembly) — then the boilerplate hash set (tiny by
+    construction: <= total_lines / min_df entries) collects to the
+    driver, broadcasts, and one map-only Arrow pass splits, hashes
+    (dedup._md5_60_arrow over the value buffer), drops members, and
+    re-joins survivors in order. The 60-bit key follows the
+    url_doc_key precedent: a collision (expected ~n^2/2^61 line pairs)
+    can only misclassify one line as boilerplate — acceptable for a
+    dedup verdict. Mirrored by the dedup_lines DuckDB oracle (same
+    split, same trim-blank exclusion, same min_df)."""
+    import numpy as np
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\n", -1))
-        .alias("pos", "line"))
-    hot = (lines.filter(F.trim(F.col("line")) != "")
-           .groupBy("line")
-           .agg(F.countDistinct("doc_id").alias("df"))
-           .filter(F.col("df") >= min_df)
-           .select("line"))
-    kept = lines.join(hot, "line", "left_anti")
-    clean = (kept.groupBy("doc_id")
-             .agg(F.array_join(
-                 F.expr("transform(sort_array(collect_list("
-                        "struct(pos, line))), x -> x.line)"),
-                 "\n").alias("text_clean")))
-    # docs whose every line was boilerplate still appear (empty text)
-    return (docs.select("doc_id").join(clean, "doc_id", "left")
-            .na.fill({"text_clean": ""}))
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"))
+    hline = F.conv(F.substring(F.md5(F.col("line").cast("binary")), 1, 15),
+                   16, 10).cast("long")
+    hot_rows = (lines.filter(F.trim(F.col("line")) != "")
+                .select(hline.alias("h"), "doc_id")
+                .groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") >= min_df)
+                .select("h").collect())
+    hot = np.sort(np.array([r["h"] for r in hot_rows], dtype=np.int64))
+    bc = docs.sparkSession.sparkContext.broadcast(hot)
+
+    def mapper(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        hot_v = bc.value
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            key_col = rb.column("doc_id")
+            txt = pc.fill_null(rb.column(text_col), "")
+            parts = pc.split_pattern(txt, "\n")
+            counts = pc.list_value_length(parts).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = parts.flatten()
+            if hot_v.size and len(flat):
+                h = _md5_60_arrow(flat.combine_chunks()
+                                  if isinstance(flat, pa.ChunkedArray)
+                                  else flat)
+                idx = np.searchsorted(hot_v, h)
+                idx[idx == hot_v.size] = 0
+                keep = hot_v[idx] != h
+            else:
+                keep = np.ones(len(flat), dtype=bool)
+            surv = np.zeros(rb.num_rows, dtype=np.int64)
+            if len(flat):
+                doc_of = np.repeat(np.arange(rb.num_rows), counts)
+                surv = np.bincount(doc_of[keep], minlength=rb.num_rows)
+            soff = np.zeros(rb.num_rows + 1, dtype=np.int64)
+            np.cumsum(surv, out=soff[1:])
+            values = flat.filter(pa.array(keep)) if len(flat) \
+                else flat
+            clean = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(soff, type=pa.int32()), values), "\n")
+            yield pa.record_batch([key_col, clean],
+                                  names=["doc_id", "text_clean"])
+
+    key_type = dict(docs.dtypes)["doc_id"]
+    return docs.select("doc_id", text_col).mapInArrow(
+        mapper, schema=f"doc_id {key_type}, text_clean string")
 
 
 SIMHASH_BITS = 60     # production width: first 15 md5 hex chars -> exact
@@ -653,7 +698,7 @@ def substring_dedup(docs: DataFrame, k: int = 8,
             nd = len(texts)
             tb = core.batch_tokenize(texts)
             counts = tb.counts
-            T = len(tb.tokens)
+            T = tb.starts.size
             off = np.zeros(nd + 1, dtype=np.int64)
             np.cumsum(counts, out=off[1:])
             dp_col = rb.column("dup_pos").to_pylist()

@@ -605,17 +605,120 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     prob ~(1-theta/pi)^16 per band, any of 4 bands -> recall ~1 on true
     near-dups, while unrelated vectors almost never share a band."""
     # The emb plan is consumed ~5x (dim probe, corpus mean when
-    # centering, band keys, and BOTH sides of the candidate cosine
-    # re-join). When emb is an expensive computed plan — embed_text's
-    # Arrow tokenize+md5 pass in dedup_text_embedding — every consumer
-    # re-ran the whole Python stage. Materialize it once (~(dim+1)*8
-    # bytes/row); eager so an upstream Observation is never poisoned
-    # (see dedup.lsh_candidate_pairs). Measured: dedup_text_embedding
-    # 16.8 -> ~4 s at sf1.0.
+    # centering, band keys, and the candidate cosines). When emb is an
+    # expensive computed plan — embed_text's Arrow tokenize+md5 pass in
+    # dedup_text_embedding — every consumer re-ran the whole Python
+    # stage. Materialize it once (~(dim+1)*8 bytes/row); eager so an
+    # upstream Observation is never poisoned (see
+    # dedup.lsh_candidate_pairs).
     emb = emb.localCheckpoint(eager=True)
+    first = emb.select("embedding").first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "probe_id long, vec_id long, cos double")
+    n = emb.count()
+    if n * (len(first["embedding"]) * 8 + 8) <= PAIR_COS_BROADCAST_BYTES:
+        return _near_dup_bucket_local(emb, threshold, max_bucket,
+                                      n_bands, band_bits, center)
+    # 100 TB fallback (corpus matrix too big to broadcast): band
+    # self-join to candidate pairs + per-pair cosine re-join
     cand = lsh_candidate_pairs(emb, None, max_bucket, n_bands, band_bits,
                                center, distinct=False)
-    return (_pair_cosines(emb, cand)
+    return (_pair_cosines(emb, cand, prefer_broadcast=False)
+            .filter(F.col("cos") >= threshold)
+            .select("probe_id", "vec_id", "cos")
+            .distinct())
+
+
+def _near_dup_bucket_local(emb: DataFrame, threshold: float,
+                           max_bucket: int | None, n_bands: int,
+                           band_bits: int, center: bool) -> DataFrame:
+    """Bucket-local candidate generation + cosine (guide §8: the band
+    SELF-join materialized every candidate pair as JVM rows — ~12M rows
+    through a join, a distinct exchange, and the Python boundary for
+    sf1.0's dedup_text_embedding, ~5-6 s of pure pair plumbing. With
+    the corpus matrix broadcast (the same budget gate as
+    _pair_cosines), one Arrow pass over the ~200k-row capped band table
+    — repartitioned so each (band, key) bucket is one contiguous sorted
+    run — generates each bucket's pairs and their cosines IN NUMPY and
+    emits only rows near the threshold; the join, the pair exchange,
+    and the boundary rows all disappear.
+
+    Exactness: pair set is identical (same capped buckets, same a < b
+    orientation, duplicates across bands collapsed by the same final
+    distinct); cosines use the identical einsum row-dot the pair-gather
+    path used; the Python-side prefilter keeps everything above
+    threshold - 1e-6 RAW, which cannot drop a pair whose HALF_UP-rounded
+    6dp cosine reaches the threshold (|round(c) - c| <= 0.5e-6), and
+    the authoritative round+filter stays JVM-side as before."""
+    import numpy as np
+
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+
+    bands = lsh_band_keys(emb, n_bands, band_bits, center)
+    bands = bands.localCheckpoint(eager=True)
+    bands = _cap_buckets(bands, ["band", "key"], max_bucket)
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.array(list(pdf["embedding"]), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    norms = _safe_norms(M)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+    raw_floor = threshold - 1e-6
+    PAIR_CHUNK = 1 << 18
+
+    def mapper(batches):
+        import pyarrow as pa
+        b_ids, b_m, b_norms = bc.value
+        tbls = [pa.Table.from_batches([rb]) for rb in batches
+                if rb.num_rows]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls).combine_chunks()
+        band = tbl.column("band").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        vid = tbl.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # bucket = contiguous run of (band, key) after the secondary
+        # sort; order within run by vec_id asc -> triu pairs are a < b
+        bk = band.astype(np.int64) * (1 << 32) + key  # injective combine
+        chg = np.nonzero(np.diff(bk))[0] + 1
+        starts = np.concatenate(([0], chg, [bk.size]))
+        out_p, out_c, out_cos = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            B = e - s
+            if B < 2:
+                continue
+            v = vid[s:e]
+            vrow = np.searchsorted(b_ids, v)
+            ii, jj = np.triu_indices(B, k=1)
+            for o in range(0, ii.size, PAIR_CHUNK):
+                i = ii[o:o + PAIR_CHUNK]
+                j = jj[o:o + PAIR_CHUNK]
+                pi = vrow[i]
+                ci = vrow[j]
+                cos = (np.einsum("ij,ij->i", b_m[pi], b_m[ci])
+                       / (b_norms[pi] * b_norms[ci]))
+                keep = cos >= raw_floor
+                if keep.any():
+                    out_p.append(v[i][keep])
+                    out_c.append(v[j][keep])
+                    out_cos.append(cos[keep])
+        if out_p:
+            yield pa.record_batch(
+                [pa.array(np.concatenate(out_p)),
+                 pa.array(np.concatenate(out_c)),
+                 pa.array(np.concatenate(out_cos))],
+                names=["probe_id", "vec_id", "cos"])
+
+    stream = (bands.repartition("band", "key")
+              .sortWithinPartitions("band", "key", "vec_id"))
+    out = stream.select("band", "key", "vec_id").mapInArrow(
+        mapper, schema="probe_id long, vec_id long, cos double")
+    return (out.withColumn("cos", F.round("cos", 6))
             .filter(F.col("cos") >= threshold)
             .select("probe_id", "vec_id", "cos")
             .distinct())
