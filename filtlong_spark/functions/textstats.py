@@ -41,22 +41,90 @@ def exploded_tokens(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     return docs.select(key, F.explode(tokens_col()).alias("tok"))
 
 
-def token_stats(docs: DataFrame, vocab, key: str = "doc_id") -> DataFrame:
-    """All per-token statistics in ONE explode + hash aggregate (partial
-    aggregation map-side, codegen end-to-end):
-    n_tokens, good_tokens (vocab hits), sum_token_len, stop_count,
-    n_distinct, per-language marker counts."""
-    toks = exploded_tokens(docs, key)
-    aggs = [
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("tok").isin(*vocab), 1).otherwise(0))
-        .alias("good_tokens"),
-        F.sum(F.length("tok").cast("long")).alias("sum_token_len"),
-        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0))
-        .alias("stop_count"),
-        F.countDistinct("tok").alias("n_distinct"),
-    ]
-    return toks.groupBy(key).agg(*aggs)
+def token_stats(docs: DataFrame, vocab, key: str = "doc_id",
+                engine: str = "arrow") -> DataFrame:
+    """All per-token statistics per doc: n_tokens, good_tokens (vocab
+    hits), sum_token_len, stop_count, n_distinct. Docs with zero tokens
+    emit no row (the aggregate semantics every consumer joins against).
+
+    engine='arrow' (default): every statistic is doc-local, so ONE
+    map-only Arrow pass computes them with zero shuffle — flat blob
+    tokenize without Python token strings, memberships probed on the
+    per-batch DICTIONARY (dictionary_encode: tens of distinct web
+    tokens per thousand occurrences) and gathered back by code,
+    distincts counted from the (doc, code) pairs. engine='agg' keeps
+    the explode + codegen hash aggregate (the shape that pays a
+    (doc)-grain exchange; retained for comparison and for inputs
+    where a whole batch cannot be tokenized at once)."""
+    if engine == "agg":
+        toks = exploded_tokens(docs, key)
+        aggs = [
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tok").isin(*vocab), 1).otherwise(0))
+            .alias("good_tokens"),
+            F.sum(F.length("tok").cast("long")).alias("sum_token_len"),
+            F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0))
+            .alias("stop_count"),
+            F.countDistinct("tok").alias("n_distinct"),
+        ]
+        return toks.groupBy(key).agg(*aggs)
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    from .scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+    vocab_list = sorted(set(vocab))
+    stop_list = sorted(set(STOPWORDS))
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        vocab_vs = pa.array(vocab_list, type=pa.string())
+        stop_vs = pa.array(stop_list, type=pa.string())
+        for pdf in batches:
+            keys = pdf[key]
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            nd = len(texts)
+            tb = core.batch_tokenize(texts, need_tokens=False)
+            T = tb.starts.size
+            if not T:
+                continue
+            counts = tb.counts
+            doc_of = tb.doc_of
+            de = core.batch_token_array(tb).dictionary_encode()
+            codes = de.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vmask = pc.is_in(de.dictionary, value_set=vocab_vs).to_numpy(
+                zero_copy_only=False)
+            smask = pc.is_in(de.dictionary, value_set=stop_vs).to_numpy(
+                zero_copy_only=False)
+            good = np.bincount(doc_of[vmask[codes]], minlength=nd)
+            stop = np.bincount(doc_of[smask[codes]], minlength=nd)
+            lens = tb.ends - tb.starts
+            c = np.concatenate(([0], np.cumsum(lens)))
+            off = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            sum_len = c[off[1:]] - c[off[:-1]]
+            ndict = len(de.dictionary)
+            pairs = np.unique(doc_of * ndict + codes)
+            n_distinct = np.bincount(pairs // ndict, minlength=nd)
+            has = counts > 0
+            yield pd.DataFrame({
+                key: np.asarray(keys)[has],
+                "n_tokens": counts[has],
+                "good_tokens": good[has],
+                "sum_token_len": sum_len[has],
+                "stop_count": stop[has],
+                "n_distinct": n_distinct[has]})
+
+    key_type = dict(docs.dtypes)[key]
+    return docs.select(key, "text").mapInPandas(
+        mapper, schema=f"{key} {key_type}, n_tokens long, "
+                       "good_tokens long, sum_token_len long, "
+                       "stop_count long, n_distinct long")
 
 
 def symbol_count_col() -> Column:
@@ -360,37 +428,48 @@ def fingerprint_df(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     acc = sum_j h_j * 31^(n-1-j) mod p (every term < p^2 < 2^63 -> exact
     int64), with ONE md5 per DISTINCT token per batch; identical to the
     sequential fold (and the DuckDB list_reduce oracle) bit-for-bit."""
-    import hashlib
-
     from .scoring import _register_self_contained_pickling
     from .. import core
+    from ..operators.dedup import _md5_60_arrow  # def-time capture
     _register_self_contained_pickling()
     P = FINGERPRINT_MOD
 
     @F.pandas_udf("long")
     def fp(texts: pd.Series) -> pd.Series:
+        # fully flat (the per-doc findall + dict.fromkeys loop is gone):
+        # blob tokenize without Python token strings, distinct-token md5
+        # via Arrow dictionary_encode over the buffer-built array, and
+        # the closed form evaluated once over the whole batch (per-token
+        # exponent = counts[doc]-1-pos; (h*pw)%P < P and the global
+        # cumsum of <2^30 terms stays exact in int64 — identical to the
+        # sequential fold bit-for-bit, same argument as before).
         import numpy as np
         texts_l = [t if isinstance(t, str) else "" for t in texts]
-        toks_per = [core.TOKEN_RE.findall(t) for t in texts_l]
-        flat = [t for ts in toks_per for t in ts]
-        out = np.zeros(len(texts_l), dtype=np.int64)
-        if flat:
-            uniq = list(dict.fromkeys(flat))
-            hvals = np.fromiter(
-                (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % P
-                 for u in uniq), dtype=np.int64, count=len(uniq))
-            h = hvals[pd.Index(uniq).get_indexer(flat)]
-            maxn = max(len(ts) for ts in toks_per)
+        nd = len(texts_l)
+        out = np.zeros(nd, dtype=np.int64)
+        tb = core.batch_tokenize(texts_l, need_tokens=False)
+        T = tb.starts.size
+        if T:
+            arr = core.batch_token_array(tb)
+            de = arr.dictionary_encode()
+            codes = de.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # first 8 md5 hex chars == top 32 bits of the 60-bit prefix
+            hu = (_md5_60_arrow(de.dictionary) >> 28) % P
+            h = hu[codes]
+            counts = tb.counts
+            off = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            maxn = int(counts.max())
             pw = np.ones(maxn, dtype=np.int64)
             for k in range(1, maxn):
                 pw[k] = pw[k - 1] * 31 % P
-            o = 0
-            for i, ts in enumerate(toks_per):
-                n = len(ts)
-                if n:
-                    seg = h[o:o + n] * pw[n - 1::-1] % P
-                    out[i] = seg.sum() % P
-                    o += n
+            pos = np.arange(T, dtype=np.int64) - off[tb.doc_of]
+            exps = counts[tb.doc_of] - 1 - pos
+            seg = h * pw[exps] % P
+            c = np.concatenate(([0], np.cumsum(seg)))
+            out_nz = (c[off[1:]] - c[off[:-1]]) % P
+            out = out_nz.astype(np.int64)
         return pd.Series(out, dtype="int64")
 
     return docs.select(key, fp(F.col("text")).alias("fingerprint"))

@@ -526,6 +526,19 @@ def md5_60_of_distinct(tokens):
     return codes, h60
 
 
+def md5_60_of_distinct_batch(tb, core):
+    """md5_60_of_distinct for a whole TokenBatch without Python token
+    strings: Arrow dictionary_encode over the buffer-built token array
+    (first-appearance codes, same as pd.factorize) + _md5_60_arrow over
+    the distinct dictionary. Identical (codes, h60) values."""
+    import numpy as np
+    arr = core.batch_token_array(tb)
+    de = arr.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h60 = _md5_60_arrow(de.dictionary).astype(np.uint64)
+    return codes, h60
+
+
 def simhash_of_texts(texts, core):
     """Per-batch fingerprint kernel shared by the batch operator and the
     streaming ingest dedup: (has_tokens mask, int64 fingerprints for the
@@ -537,12 +550,12 @@ def simhash_of_texts(texts, core):
 
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     weights = (np.uint64(1) << shifts)
-    tb = core.batch_tokenize(texts)
+    tb = core.batch_tokenize(texts, need_tokens=False)
     counts = np.asarray(tb.counts, dtype=np.int64)
     nz = counts > 0
     if not nz.any():
         return nz, np.zeros(0, dtype=np.int64)
-    codes, h60 = md5_60_of_distinct(tb.tokens)
+    codes, h60 = md5_60_of_distinct_batch(tb, core)
     # (U, 60) bit matrix for the distinct tokens, gathered back to
     # token grain; vote[d, b] = 2*sum(bits) - n_tokens[d]
     bits = ((h60[:, None] >> shifts[None, :])

@@ -90,14 +90,13 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1,
         for rb in batches:
             texts = [t if isinstance(t, str) else ""
                      for t in rb.column("text").to_pylist()]
-            tb = core.batch_tokenize(texts)
+            tb = core.batch_tokenize(texts, need_tokens=False)
             counts = np.asarray(tb.counts, dtype=np.int64)
             doc_of = np.asarray(tb.doc_of, dtype=np.int64)
             offsets = np.concatenate(([0], np.cumsum(counts)))
             total = int(offsets[-1])
             if not total:
                 continue
-            toks_arr = np.array(tb.tokens, dtype=object)
             pos = np.arange(total, dtype=np.int64) - offsets[doc_of]
             # PRE-AGGREGATED (prev, tok, c) rows at per-batch VOCAB grain
             # (factorize once, then one integer unique over packed
@@ -107,7 +106,13 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1,
             # instead of hashing every token occurrence (measured ~1/3 of
             # the whole LM leg before this change). prev_code -1 = doc
             # start (null prev).
-            tok_codes, tok_uniq = pd.factorize(toks_arr)
+            # distinct tokens via Arrow dictionary_encode over the
+            # buffer-built token array (no Python token strings; same
+            # first-appearance codes as pd.factorize)
+            de = core.batch_token_array(tb).dictionary_encode()
+            tok_codes = de.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            tok_uniq = de.dictionary
             prev_codes = np.full(total, -1, dtype=np.int64)
             nz = np.nonzero(pos > 0)[0]
             prev_codes[nz] = tok_codes[nz - 1]
@@ -116,14 +121,11 @@ def lm_count_tables(ref_pages: DataFrame, min_count: int = 1,
             uniq, c = np.unique(comb, return_counts=True)
             p = uniq // width - 1
             t = uniq % width
-            prev_out = np.empty(len(uniq), dtype=object)
-            prev_out[:] = None
             pm = p >= 0
-            prev_out[pm] = tok_uniq[p[pm]]
+            prev_out = tok_uniq.take(
+                pa.array(np.where(pm, p, 0), mask=~pm))
             yield pa.record_batch(
-                [pa.array(tok_uniq[t], type=pa.string(),
-                          from_pandas=True),
-                 pa.array(prev_out, type=pa.string(), from_pandas=True),
+                [tok_uniq.take(pa.array(t)), prev_out,
                  pa.array(c, type=pa.int64())], schema=schema)
 
     toks = ref_pages.select("text").mapInArrow(
@@ -227,7 +229,7 @@ def make_token_mapper(cfg: FilterConfig):
             texts = [t if isinstance(t, str) else ""
                      for t in rb.column("text").to_pylist()]
             nd = len(texts)
-            tb = core.batch_tokenize(texts)
+            tb = core.batch_tokenize(texts, need_tokens=False)
             if langid:
                 pred, _ = core.flat_predict_lang_texts(texts)
                 gated = (pred != lang_expected) if lang_expected is not None \
@@ -258,7 +260,7 @@ def make_token_mapper(cfg: FilterConfig):
             keep_doc = ~gated & (counts > 0)
             sel = np.nonzero(keep_doc[doc_of])[0]
             if sel.size:
-                tok_pa = pa.array(tb.tokens, type=pa.string())
+                tok_pa = core.batch_token_array(tb)
                 pos_full = np.arange(total, dtype=np.int64) \
                     - offsets[doc_of]
                 prev_pa = pc.if_else(

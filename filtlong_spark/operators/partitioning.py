@@ -80,17 +80,20 @@ def host_quality_gate(docs: DataFrame, vocab,
     Exact integer-count ratios -> mirrored bit-for-bit by the
     host_gate DuckDB oracle."""
     from ..functions import textstats as ts
-    toks = docs.select(F.col("doc_id"), F.col(host_col).alias("host"),
-                       F.explode(ts.tokens_col()).alias("tok"))
-    counted = (toks.groupBy("doc_id", "host")
-               .agg(F.count(F.lit(1)).alias("n_tok"),
-                    F.sum(F.when(F.col("tok").isin(*vocab), 1)
-                          .otherwise(0)).alias("good")))
-    # zero-token docs emit no explode rows — rejoin the doc list so
-    # EVERY doc gets its host's verdict (and the oracle row counts match)
+    # doc-grain token counting is map-only (textstats.token_stats arrow
+    # engine — no explode exchange); zero-token docs emit no stats row,
+    # so rejoin the doc list for EVERY doc's verdict (and oracle row
+    # counts)
+    st = ts.token_stats(docs, vocab)
     per_doc = (docs.select("doc_id", F.col(host_col).alias("host"))
-               .join(counted, ["doc_id", "host"], "left")
+               .join(st.select("doc_id",
+                               F.col("n_tokens").alias("n_tok"),
+                               F.col("good_tokens").alias("good")),
+                     "doc_id", "left")
                .na.fill({"n_tok": 0, "good": 0}))
+    # per_doc is consumed twice (host aggregate + the verdict join):
+    # materialize the token-stats pass once (~32 B/doc)
+    per_doc = per_doc.localCheckpoint(eager=True)
     # a host whose docs ALL tokenize to zero tokens would divide 0/0:
     # Spark yields NULL (silently dropped by filter(keep)) while DuckDB
     # yields NaN -> keep=false — guard to a concrete 0.0 in BOTH engines

@@ -567,19 +567,19 @@ def embed_text(docs: DataFrame, dim: int = 32) -> DataFrame:
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
     from .. import core  # definition-time capture -> pickled by value
-    from .dedup import md5_60_of_distinct  # the ONE md5-60 kernel
+    from .dedup import md5_60_of_distinct_batch  # the ONE md5-60 kernel
 
     def mapper(batches):
         import numpy as np
         for pdf in batches:
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
             ids = np.asarray(pdf["doc_id"], dtype=np.int64)
-            tb = core.batch_tokenize(texts)
+            tb = core.batch_tokenize(texts, need_tokens=False)
             counts = np.asarray(tb.counts, dtype=np.int64)
             nz = counts > 0
             if not nz.any():
                 continue
-            codes, h60 = md5_60_of_distinct(tb.tokens)
+            codes, h60 = md5_60_of_distinct_batch(tb, core)
             d_of_uniq = (h60 % np.uint64(dim)).astype(np.int64)
             doc_of = np.asarray(tb.doc_of, dtype=np.int64)
             flat = doc_of * dim + d_of_uniq[codes]
