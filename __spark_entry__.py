@@ -55,8 +55,7 @@ def _docs(spark, sf_dir, spread=True):
     aggregation — there the extra exchange costs more than the
     parallelism it buys (measured: dedup_exact 0.44 -> 0.98 s with the
     guard, events_rollup 0.55 -> 1.93 s)."""
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return tables.spread(spark, df) if spread else df
+    return tables.load(spark, sf_dir, "documents", spread=spread)
 
 
 def _emb(spark, sf_dir):

@@ -319,6 +319,90 @@ def batch_token_array(tb: "TokenBatch"):
         n, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(values))
 
 
+# JAVA regex whitespace — [ \t\n\x0B\f\r], exactly Python's re.ASCII \s
+# and exactly what Catalyst's regexp_extract_all(text, '\\S+') splits
+# on. DISTINCT from Python's default-Unicode \s (WS_CODES above): NBSP,
+# ideographic space, FS/GS/RS/US are TOKEN chars here.
+_WS_LUT_JAVA = np.zeros(256, dtype=bool)
+_WS_LUT_JAVA[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
+TOKEN_RE_ASCII = re.compile(r"\S+", re.ASCII)
+
+
+def batch_tokenize_java(texts: list[str]):
+    """Flat batch tokenization under JAVA regex semantics — the exact
+    splitter of every Catalyst '\\S+' tokenizer this repo mirrors (so an
+    Arrow rendering of an aggregate-path operator stays bit-identical
+    even on NBSP/ideographic-space text, unlike batch_tokenize's
+    Python-Unicode \\S). Returns (token_arr: pa.StringArray, doc_of,
+    counts, char_lens) with token_arr element i equal to the i-th
+    regexp_extract_all row, char_lens in codepoints (== F.length)."""
+    import pyarrow as pa
+    nd = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nd)
+    doc_starts = np.zeros(nd, dtype=np.int64)
+    if nd > 1:
+        np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+    blob = " ".join(texts)
+    z64 = np.zeros(0, dtype=np.int64)
+    empty = (pa.array([], type=pa.string()), z64,
+             np.zeros(nd, dtype=np.int64), z64)
+    if not blob:
+        return empty
+    if blob.isascii():
+        codes = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
+        u8, byte_off = codes, None
+    else:
+        try:
+            codes = np.frombuffer(blob.encode("utf-32-le"),
+                                  dtype=np.uint32)
+        except UnicodeEncodeError:
+            # lone surrogates: per-doc finditer fallback (re.ASCII \S
+            # == Java \S on every input incl. surrogates)
+            toks, doc_of_l, lens_l = [], [], []
+            for d, t in enumerate(texts):
+                for m in TOKEN_RE_ASCII.finditer(t):
+                    toks.append(m.group(0))
+                    doc_of_l.append(d)
+                    lens_l.append(m.end() - m.start())
+            doc_of = np.array(doc_of_l, dtype=np.int64)
+            return (pa.array(toks, type=pa.string()), doc_of,
+                    np.bincount(doc_of, minlength=nd).astype(np.int64),
+                    np.array(lens_l, dtype=np.int64))
+        blens = np.where(codes < 0x80, 1,
+                         np.where(codes < 0x800, 2,
+                                  np.where(codes < 0x10000, 3, 4))) \
+            .astype(np.int64)
+        byte_off = np.zeros(codes.size + 1, dtype=np.int64)
+        np.cumsum(blens, out=byte_off[1:])
+        u8 = np.frombuffer(blob.encode("utf-8"), dtype=np.uint8)
+    nz = ~_WS_LUT_JAVA[np.minimum(codes, 0xFF)]
+    if not nz.any():
+        return empty
+    d8 = np.diff(nz.view(np.int8))
+    ts_ = np.nonzero(d8 == 1)[0] + 1
+    te_ = np.nonzero(d8 == -1)[0] + 1
+    if nz[0]:
+        ts_ = np.concatenate(([0], ts_))
+    if nz[-1]:
+        te_ = np.concatenate((te_, [codes.size]))
+    doc_of = np.searchsorted(doc_starts, ts_, side="right") - 1
+    counts = np.bincount(doc_of, minlength=nd).astype(np.int64)
+    char_lens = te_ - ts_
+    if byte_off is None:
+        bstart, bend = ts_, te_
+    else:
+        bstart, bend = byte_off[ts_], byte_off[te_]
+    out_lens = bend - bstart
+    n = ts_.size
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    idx = np.repeat(bstart - offsets[:-1], out_lens) \
+        + np.arange(int(offsets[-1]))
+    arr = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(u8[idx]))
+    return arr, doc_of, counts, char_lens
+
+
 def flat_ngram_windows(tb: "TokenBatch", n: int):
     """(doc_of, pos, windows): EVERY n-token window of every doc in the
     batch — windows as the space-joined strings (bit-identical to

@@ -49,13 +49,15 @@ def token_stats(docs: DataFrame, vocab, key: str = "doc_id",
 
     engine='arrow' (default): every statistic is doc-local, so ONE
     map-only Arrow pass computes them with zero shuffle — flat blob
-    tokenize without Python token strings, memberships probed on the
-    per-batch DICTIONARY (dictionary_encode: tens of distinct web
-    tokens per thousand occurrences) and gathered back by code,
-    distincts counted from the (doc, code) pairs. engine='agg' keeps
-    the explode + codegen hash aggregate (the shape that pays a
-    (doc)-grain exchange; retained for comparison and for inputs
-    where a whole batch cannot be tokenized at once)."""
+    tokenize without Python token strings (core.batch_tokenize_java:
+    JAVA \\s semantics, so NBSP/ideographic-space text tokenizes
+    IDENTICALLY to the regexp aggregate — pytest-asserted in
+    test_classifier), memberships probed on the per-batch DICTIONARY
+    (dictionary_encode: tens of distinct web tokens per thousand
+    occurrences) and gathered back by code, distincts counted from the
+    (doc, code) pairs. engine='agg' keeps the explode + codegen hash
+    aggregate (the shape that pays a (doc)-grain exchange; retained
+    for comparison)."""
     if engine == "agg":
         toks = exploded_tokens(docs, key)
         aggs = [
@@ -88,13 +90,12 @@ def token_stats(docs: DataFrame, vocab, key: str = "doc_id",
             keys = pdf[key]
             texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
             nd = len(texts)
-            tb = core.batch_tokenize(texts, need_tokens=False)
-            T = tb.starts.size
+            arr, doc_of, counts, char_lens = core.batch_tokenize_java(
+                texts)
+            T = len(arr)
             if not T:
                 continue
-            counts = tb.counts
-            doc_of = tb.doc_of
-            de = core.batch_token_array(tb).dictionary_encode()
+            de = arr.dictionary_encode()
             codes = de.indices.to_numpy(
                 zero_copy_only=False).astype(np.int64)
             vmask = pc.is_in(de.dictionary, value_set=vocab_vs).to_numpy(
@@ -103,8 +104,7 @@ def token_stats(docs: DataFrame, vocab, key: str = "doc_id",
                 zero_copy_only=False)
             good = np.bincount(doc_of[vmask[codes]], minlength=nd)
             stop = np.bincount(doc_of[smask[codes]], minlength=nd)
-            lens = tb.ends - tb.starts
-            c = np.concatenate(([0], np.cumsum(lens)))
+            c = np.concatenate(([0], np.cumsum(char_lens)))
             off = np.zeros(nd + 1, dtype=np.int64)
             np.cumsum(counts, out=off[1:])
             sum_len = c[off[1:]] - c[off[:-1]]

@@ -14,6 +14,15 @@ src/main.cpp:113-117) — these are the dedup stages a 100 TB corpus needs:
 Every operator here is mirrored by an exact DuckDB SQL oracle in
 __spark_entry__.py (same md5-derived hashes -> identical values in both
 engines, no float ambiguity except cosine, which is rounded).
+
+Tokenization note (round-5 ADVICE item): the Python window/shingle
+kernels tokenize with core.TOKEN_RE (Python Unicode \\S), while the
+DuckDB oracles use RE2 \\S semantics — on text containing non-ASCII
+whitespace (NBSP, ideographic space) the two can split differently.
+The corpora this repo is checked against are ASCII (verified across
+every SF, incl. the driver-generated ones), where both agree exactly;
+a production deployment mixing the Python kernels with the SQL mirrors
+on non-ASCII text should pin one convention (re.ASCII matches RE2).
 """
 
 from __future__ import annotations

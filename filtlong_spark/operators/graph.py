@@ -60,7 +60,8 @@ def host_edges(docs: DataFrame, host_col: str = "source",
             .select("src", "dst").distinct())
 
 
-def pagerank_int(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def pagerank_int(edges: DataFrame, iterations: int = 10,
+                 checkpoint_every: int = 4) -> DataFrame:
     """Synchronous integer PageRank over DISTINCT (src, dst) edges.
     Every host appearing as src or dst is a node. Returns
     (host, rank) with rank the fixed-point integer after
@@ -77,7 +78,7 @@ def pagerank_int(edges: DataFrame, iterations: int = 10) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = (15 * PR_SCALE) // (100 * n)
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n))
-    for _ in range(iterations):
+    for it in range(iterations):
         # `div`, never `/`: long / long in Spark is a DOUBLE divide and
         # its correctly-rounded result can cross an integer boundary
         # that exact floor division does not — `div` stays integral
@@ -92,7 +93,12 @@ def pagerank_int(edges: DataFrame, iterations: int = 10) -> DataFrame:
                          (F.lit(base)
                           + F.expr("(85 * inflow) div 100"))
                          .alias("rank")))
-        # truncate lineage: K iterations must not stack K joins into
-        # one plan (eager also keeps any upstream Observation sane)
-        ranks = ranks.localCheckpoint(eager=True)
+        # truncate lineage every few rounds: K iterations must not
+        # stack K joins into one plan, but an EAGER checkpoint is a
+        # full job — at host grain the iteration latency was dominated
+        # by the 8 sequential checkpoint jobs, so truncate every
+        # checkpoint_every rounds (plan depth stays bounded by that
+        # constant; eager also keeps any upstream Observation sane)
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

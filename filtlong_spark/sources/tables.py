@@ -19,8 +19,50 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def load(spark: SparkSession, sf_dir: str, name: str,
          spread: bool = True) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _spread(spark, df) if spread else df
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if spread and _should_spread(spark, path):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def _should_spread(spark: SparkSession, path: str) -> bool:
+    """Whether the unsplittable-input repartition pays for itself,
+    decided from os.stat alone (an earlier draft probed
+    df.rdd.getNumPartitions(), but that converts the plan to an RDD
+    through py4j at ~0.15-0.2 s per QUERY CONSTRUCTION — a pure latency
+    tax at any scale). Two conditions:
+
+    - fewer data files than cores (a single file is the testdata shape;
+      a real at-scale table has >= one file per split of parallelism),
+      AND
+    - the table is at least maxPartitionBytes/8 on disk — below that,
+      the whole table fits comfortably inside a fraction of ONE scan
+      split, and the extra AQE shuffle stage's fixed latency (~0.4 s
+      measured: stage materialization + task launches) exceeds any
+      parallelism gain. Both bounds derive from session config, not
+      from a bench constant."""
+    files, total = 1, 0
+    if os.path.isdir(path):
+        names = [f for f in os.listdir(path)
+                 if not f.startswith(("_", "."))]
+        files = max(1, len(names))
+        total = sum(os.path.getsize(os.path.join(path, f))
+                    for f in names)
+    else:
+        total = os.path.getsize(path)
+    if files >= spark.sparkContext.defaultParallelism:
+        return False
+    return total >= _max_partition_bytes(spark) // 8
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             "134217728")).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    if raw and raw[-1] in mult:
+        return int(raw[:-1]) * mult[raw[-1]]
+    return int(raw)
 
 
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -34,7 +76,9 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     (the tables are MBs) and restores full-width execution. No-op for
     inputs that already split into enough tasks (any real multi-file
     table at scale), so the guard is scale-adaptive, not tuned to
-    local[32]."""
+    local[32]. Prefer load()'s path-based estimate; this DataFrame
+    variant pays an RDD-conversion probe and exists for callers that
+    hold only a computed plan."""
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -45,7 +89,12 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) -> pages(url, warc_ts,
     html, text, lang) in the BASELINE.json input_hint shape, derived
     deterministically (url from source/doc_id, warc_ts from doc_id)."""
-    docs = load(spark, sf_dir, "documents")
+    # spread=False: run_filter's ingest starts with a url-only dup-key
+    # aggregate (column-pruned scan, no text movement) and the pipeline
+    # fans out AFTER it (pipeline.py's own repartition guard). A spread
+    # here would shuffle the text column once more before that
+    # aggregate for nothing (measured: pipeline leg 3.5 -> 4.3 s).
+    docs = load(spark, sf_dir, "documents", spread=False)
     return docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
                  F.col("doc_id").cast("string")).alias("url"),
