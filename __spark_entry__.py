@@ -442,13 +442,28 @@ def q_lm_quality(spark, sf_dir):
     integer-count-exact, so DuckDB produces identical doubles."""
     from pyspark.sql import Window
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id",
-                    F.posexplode(F.expr(ts.TOKENS)).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    toks = toks.withColumn("prev", F.lag("tok").over(w))
+    # (pos, tok, prev) WITHOUT a lag window: prev is the token array
+    # shifted by one (null-padded at position 0), zipped and exploded —
+    # map-only, so the 7.5M-token exchange+sort the window paid is gone.
+    # Rows are identical to lag() over (doc_id, pos): prev[i] =
+    # toks[i-1], null at i=0. arrays_zip pads a zero-token doc to one
+    # all-null row — real tokens are \S+ (never null), so the filter
+    # drops exactly those padding rows (empty docs emitted no row under
+    # posexplode either).
+    toks_arr = F.expr(ts.TOKENS)
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks_arr, 1, F.greatest(F.size(toks_arr) - 1, F.lit(0))))
+    toks = (d.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(toks_arr.alias("tok"),
+                                  prevs.alias("prev"))).alias("pos", "z"))
+        .select("doc_id", "pos", F.col("z.tok").alias("tok"),
+                F.col("z.prev").alias("prev"))
+        .filter(F.col("tok").isNotNull()))
     # c1 is consumed three times (the driver-side total and both count
     # joins); materializing the tiny distinct-token table once saves a
-    # full explode+window+aggregate recompute for the total collect
+    # full explode+aggregate recompute for the total collect
     c1 = (toks.groupBy("tok").agg(F.count("*").alias("c1"))
           .localCheckpoint(eager=True))
     total = c1.agg(F.sum("c1")).collect()[0][0]

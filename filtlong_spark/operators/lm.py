@@ -437,6 +437,17 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
             counts_all, pos = flat(rb.column("pos"), np.int64)
             _, fl = flat(rb.column("flags"), np.int8)
             doc_of_all = np.repeat(np.arange(nd), counts_all)
+            if scrub:
+                _, start = flat(rb.column("start"), np.int64)
+                _, end = flat(rb.column("end"), np.int64)
+                # replicate sort_array's (pos, start, end, flags) struct
+                # order within each doc (lexsort: last key is primary)
+                order = np.lexsort((fl, end, start, pos, doc_of_all))
+                pos, fl = pos[order], fl[order]
+                start, end = start[order], end[order]
+            else:
+                order = np.lexsort((fl, pos, doc_of_all))
+                pos, fl = pos[order], fl[order]
 
             # exactly one pos=-1 metadata sentinel per document; two
             # means an xxhash64(url) doc_key collision merged two docs —
@@ -466,8 +477,6 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
             scrubbed = np.zeros(nd, dtype=bool)
             child_rows: list = []
             if scrub:
-                _, start = flat(rb.column("start"), np.int64)
-                _, end = flat(rb.column("end"), np.int64)
                 starts_t, ends_t = start[tok_m], end[tok_m]
                 pii_by_doc: dict = {}
                 for i in np.nonzero(pos == -2)[0]:
@@ -565,12 +574,16 @@ def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
     struct_cols = (["pos", "start", "end", "flags"] if scrub
                    else ["pos", "flags"])
     arr_cols = [F.col(f"toks.{c}").alias(c) for c in struct_cols]
+    # NO sort_array: collect_list order is partition-arbitrary, and the
+    # stage-2 mapper re-establishes the exact struct order with ONE
+    # vectorized np.lexsort per batch — the JVM was sorting one struct
+    # array PER DOC inside the aggregate
     grouped = (painted.groupBy("doc_key")
                .agg(F.max("url").alias("url"),
                     F.max("n_chars").alias("n_chars"),
                     F.max("lang_pred").alias("lang_pred"),
                     F.min("lang_ok").alias("lang_ok"),
-                    F.sort_array(F.collect_list(F.struct(*struct_cols)))
+                    F.collect_list(F.struct(*struct_cols))
                     .alias("toks"))
                .select("url", "n_chars", "lang_pred", "lang_ok", *arr_cols))
     eps_good = bool(total) and (1.0 / (10.0 * total) >= cfg.lm_threshold)

@@ -213,7 +213,8 @@ def corpus_mean(emb: DataFrame, dim: int) -> list[float]:
 
 def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
                   band_bits: int = BAND_BITS,
-                  center: bool = False) -> DataFrame:
+                  center: bool = False,
+                  dim: int | None = None, mu=None) -> DataFrame:
     """(vec_id, band, key): banded sign-LSH signature — band b's key packs
     sign bits of planes [b*band_bits, (b+1)*band_bits), MSB-first. ONE
     numpy mapInPandas pass (a BLAS int matmul per Arrow batch); the
@@ -238,12 +239,19 @@ def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
 
     spark = emb.sparkSession
     schema = "vec_id long, band int, key long"
-    first = emb.select("embedding").first()
-    if first is None:
-        return spark.createDataFrame([], schema)
-    dim = len(first["embedding"])
-    mu = (np.array(corpus_mean(emb, dim), dtype=np.float64)
-          if center else np.zeros(dim, dtype=np.float64))
+    if dim is None:
+        first = emb.select("embedding").first()
+        if first is None:
+            return spark.createDataFrame([], schema)
+        dim = len(first["embedding"])
+    # dim/mu can be passed in by a caller that already collected the
+    # corpus (near_dup_pairs' bucket-local path) — each probe here is
+    # otherwise its own Spark job at query-construction time
+    if mu is None:
+        mu = (np.array(corpus_mean(emb, dim), dtype=np.float64)
+              if center else np.zeros(dim, dtype=np.float64))
+    else:
+        mu = np.asarray(mu, dtype=np.float64)
     n_planes = n_bands * band_bits
     w = plane_matrix(dim, n_planes)
     # per-band MSB-first packing: plane p contributes bit (band_bits-1 - p%band_bits)
@@ -616,10 +624,19 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     if first is None:
         return emb.sparkSession.createDataFrame(
             [], "probe_id long, vec_id long, cos double")
-    n = emb.count()
-    if n * (len(first["embedding"]) * 8 + 8) <= PAIR_COS_BROADCAST_BYTES:
-        return _near_dup_bucket_local(emb, threshold, max_bucket,
-                                      n_bands, band_bits, center)
+    dim = len(first["embedding"])
+    # ONE bounded collect decides the path AND feeds it: read at most
+    # cap_rows+1 rows — within the broadcast budget that IS the corpus
+    # matrix (no separate count/corpus_mean/toPandas jobs); one row
+    # over means fall back to the join path (the read stays bounded at
+    # any corpus size: limit pushes into the scan)
+    cap_rows = PAIR_COS_BROADCAST_BYTES // (dim * 8 + 8)
+    pdf = (emb.select("vec_id", "embedding")
+           .limit(cap_rows + 1).toPandas())
+    if len(pdf) <= cap_rows:
+        return _near_dup_bucket_local(emb, pdf, dim, threshold,
+                                      max_bucket, n_bands, band_bits,
+                                      center)
     # 100 TB fallback (corpus matrix too big to broadcast): band
     # self-join to candidate pairs + per-pair cosine re-join
     cand = lsh_candidate_pairs(emb, None, max_bucket, n_bands, band_bits,
@@ -630,7 +647,8 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .distinct())
 
 
-def _near_dup_bucket_local(emb: DataFrame, threshold: float,
+def _near_dup_bucket_local(emb: DataFrame, pdf, dim: int,
+                           threshold: float,
                            max_bucket: int | None, n_bands: int,
                            band_bits: int, center: bool) -> DataFrame:
     """Bucket-local candidate generation + cosine (guide §8: the band
@@ -656,16 +674,22 @@ def _near_dup_bucket_local(emb: DataFrame, threshold: float,
     from ..functions.scoring import _register_self_contained_pickling
     _register_self_contained_pickling()
 
-    bands = lsh_band_keys(emb, n_bands, band_bits, center)
-    bands = bands.localCheckpoint(eager=True)
-    bands = _cap_buckets(bands, ["band", "key"], max_bucket)
-
-    pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     M = np.array(list(pdf["embedding"]), dtype=np.float64)
     order = np.argsort(ids, kind="stable")
     ids, M = ids[order], M[order]
     norms = _safe_norms(M)
+    # corpus mean from the already-collected matrix: for the
+    # integer-valued embeddings the oracle checks (hashed-BoW counts)
+    # the per-dimension sums are exact in float64 regardless of
+    # summation order, so this equals corpus_mean()'s Spark aggregate
+    # bit-for-bit (the same argument that function documents)
+    mu = (M.sum(axis=0) / len(ids) if center and len(ids)
+          else np.zeros(dim, dtype=np.float64))
+    bands = lsh_band_keys(emb, n_bands, band_bits, center,
+                          dim=dim, mu=mu)
+    bands = bands.localCheckpoint(eager=True)
+    bands = _cap_buckets(bands, ["band", "key"], max_bucket)
     bc = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
     raw_floor = threshold - 1e-6
     PAIR_CHUNK = 1 << 18
