@@ -84,19 +84,56 @@ def _mh_params(n_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _doc_shingle_h60(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, h60): the md5-60 hash of every DISTINCT word n-gram
+    shingle per doc — _doc_shingles with the hashing pulled INTO the
+    mapper: shingle strings never leave Python (the JVM previously
+    md5'd every (doc, shingle) row; here each distinct window of a
+    batch hashes once via dictionary_encode + _md5_60_arrow, and the
+    per-doc distinct runs on packed ints). Values equal
+    conv(substring(md5(shingle), 1, 15), 16, 10) exactly."""
+    from ..functions.scoring import _register_self_contained_pickling
+    _register_self_contained_pickling()
+    from .. import core  # definition-time capture -> pickled by value
+
+    def mapper(batches):
+        import numpy as np
+        import pyarrow as pa
+        for rb in batches:
+            texts = [t if t is not None else ""
+                     for t in rb.column("text").to_pylist()]
+            ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            tb = core.batch_tokenize(texts)
+            d, _, wins = core.flat_ngram_windows(tb, n)
+            if not len(d):
+                continue
+            de = wins.dictionary_encode()
+            codes = de.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h60 = _md5_60_arrow(de.dictionary)
+            K = len(de.dictionary)
+            pairs = np.unique(d * K + codes)
+            yield pa.record_batch(
+                [pa.array(ids[pairs // K].astype(np.int64)),
+                 pa.array(h60[pairs % K])],
+                names=["doc_id", "h60"])
+
+    return docs.select("doc_id", "text").mapInArrow(
+        mapper, schema="doc_id long, h60 long")
+
+
 def minhash_wide(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, mh0..mh7): shingling stays the Arrow-batched Python mapper
-    (string n-gram assembly), but ALL hashing is JVM-side codegen: one
-    Catalyst md5 per shingle -> 60-bit int -> 8 affine permutations ->
-    groupBy(doc_id).min. Partial aggregation collapses each partition to
-    one row per doc before the shuffle, so the exchange carries ~32 bytes
-    per doc — at corpus scale the plan is one Python shingling pass + a
-    near-free min-combine."""
-    sh = _doc_shingles(docs, shingle_n)
+    """(doc_id, mh0..mh7): one Python shingling+hashing pass
+    (_doc_shingle_h60 — shingle text never reaches the JVM) -> 8 affine
+    permutations -> groupBy(doc_id).min. Partial aggregation collapses
+    each partition to one row per doc before the shuffle, so the
+    exchange carries ~32 bytes per doc — at corpus scale the plan is
+    one Python pass + a near-free min-combine. mh values are identical
+    to the previous JVM-md5 rendering (same 60-bit prefix; min over
+    the same per-doc hash set)."""
+    sh = _doc_shingle_h60(docs, shingle_n)
     a, b = _mh_params(N_HASHES)
-    h60 = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15),
-                 16, 10).cast("long")
-    hm = h60 % F.lit(MH_PRIME)
+    hm = F.col("h60") % F.lit(MH_PRIME)
     aggs = [F.min((F.lit(a[h]) * hm + F.lit(b[h])) % F.lit(MH_PRIME))
             .alias(f"mh{h}") for h in range(N_HASHES)]
     return sh.groupBy("doc_id").agg(*aggs)
