@@ -731,7 +731,11 @@ def substring_dedup(docs: DataFrame, k: int = 8,
     _register_self_contained_pickling()
     from .. import core
 
-    win = _doc_windows(docs, k)
+    # the window table is consumed twice (dup-hash count + the
+    # join-back); materialize the hashing mapper once (16 B/row — the
+    # plan previously showed TWO MapInPandas window passes). Eager:
+    # see the Observation note in lsh_candidate_pairs.
+    win = _doc_windows(docs, k).localCheckpoint(eager=True)
     dup = (win.groupBy("whash").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= min_count).select("whash"))
     hits = win.join(dup, "whash").select("doc_id", "pos")
