@@ -335,6 +335,13 @@ def q_decontaminate(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % DECONTAM_MOD == DECONTAM_RES)
     corpus = d.filter(F.col("doc_id") % DECONTAM_MOD != DECONTAM_RES)
+    # A shared-shingle-pass variant (shingle d once, localCheckpoint,
+    # split by the mod rule) was measured NEUTRAL at sf0.1 (0.99 vs
+    # 1.01 s min-of-5) and reverted: the two slices shingle DISJOINT
+    # doc sets, so no shingle work is duplicated — only the pruned text
+    # scan — while the checkpoint materializes the full corpus-side
+    # shingle table (~5x the text bytes) that is otherwise consumed
+    # exactly once. At scale that trade only gets worse.
     return dedup_op.decontaminate(corpus, bench).orderBy("doc_id")
 
 
@@ -460,10 +467,16 @@ def q_lm_quality(spark, sf_dir):
                                   prevs.alias("prev"))).alias("pos", "z"))
         .select("doc_id", "pos", F.col("z.tok").alias("tok"),
                 F.col("z.prev").alias("prev"))
-        .filter(F.col("tok").isNotNull()))
+        # the token table feeds THREE consumers (c1, c2, and the probe
+        # side of the final join); without materialization the
+        # tokenize+zip+explode executed three times (once in the c1
+        # checkpoint job, twice inside the final plan). One eager
+        # localCheckpoint makes it exactly once — guide §5
+        # cache-when-reused (MEMORY_AND_DISK, spills at scale)
+        .filter(F.col("tok").isNotNull()).localCheckpoint(eager=True))
     # c1 is consumed three times (the driver-side total and both count
     # joins); materializing the tiny distinct-token table once saves a
-    # full explode+aggregate recompute for the total collect
+    # full aggregate recompute for the total collect
     c1 = (toks.groupBy("tok").agg(F.count("*").alias("c1"))
           .localCheckpoint(eager=True))
     total = c1.agg(F.sum("c1")).collect()[0][0]

@@ -433,21 +433,27 @@ def make_reassemble_mapper(cfg: FilterConfig, eps_good: bool):
             # flatten the per-doc arrays ONCE, then run the same flat
             # kernels as the intrinsic scorer (prefix-sum mean/window,
             # whole-batch bad-run masks) — per-doc Python only for docs
-            # that actually scrub
-            counts_all, pos = flat(rb.column("pos"), np.int64)
-            _, fl = flat(rb.column("flags"), np.int8)
+            # that actually scrub. Fields arrive PACKED (pf = pos*8 +
+            # flags, se = start*2^32 + end — see the pack comment in
+            # score_and_scrub_distributed); unpacking is three numpy
+            # ops, and the packed longs double as the sort keys
+            # (ordering by (doc, pf, se) == the previous
+            # (doc, pos, start, end, flags) struct order — pos is
+            # unique per doc except the constant-flag sentinels).
+            counts_all, pf = flat(rb.column("pf"), np.int64)
             doc_of_all = np.repeat(np.arange(nd), counts_all)
             if scrub:
-                _, start = flat(rb.column("start"), np.int64)
-                _, end = flat(rb.column("end"), np.int64)
-                # replicate sort_array's (pos, start, end, flags) struct
-                # order within each doc (lexsort: last key is primary)
-                order = np.lexsort((fl, end, start, pos, doc_of_all))
-                pos, fl = pos[order], fl[order]
-                start, end = start[order], end[order]
+                _, se = flat(rb.column("se"), np.int64)
+                order = np.lexsort((se, pf, doc_of_all))
+                pf, se = pf[order], se[order]
+                start, end = se >> 32, se & 0xFFFFFFFF
             else:
-                order = np.lexsort((fl, pos, doc_of_all))
-                pos, fl = pos[order], fl[order]
+                order = np.lexsort((pf, doc_of_all))
+                pf = pf[order]
+            # arithmetic >> 3 floor-divides, so negative sentinel
+            # positions (-1, -2) unpack exactly
+            pos = pf >> 3
+            fl = (pf & 7).astype(np.int8)
 
             # exactly one pos=-1 metadata sentinel per document; two
             # means an xxhash64(url) doc_key collision merged two docs —
@@ -566,25 +572,41 @@ def score_and_scrub_distributed(spark: SparkSession, pages: DataFrame,
     tok_rows = keyed.mapInArrow(make_token_mapper(cfg), schema=TOK_SCHEMA)
     painted = paint_goodness(tok_rows, c1, c2e, total, cfg.lm_threshold)
     # one shuffle on the int64 doc_key (the hash-partial aggregate
-    # collapses each doc map-side first); the sorted struct array is then
-    # split into PARALLEL primitive arrays (codegen field extraction) so
-    # the stage-2 mapper receives numpy-friendly lists, not per-token
-    # dicts. Without scrub the struct drops start/end — Catalyst prunes
-    # them below both count joins, so the exchanges never carry them.
-    struct_cols = (["pos", "start", "end", "flags"] if scrub
-                   else ["pos", "flags"])
-    arr_cols = [F.col(f"toks.{c}").alias(c) for c in struct_cols]
+    # collapses each doc map-side first). The per-token fields are
+    # PACKED into longs before the aggregate (guide §2.3 "narrower
+    # types"): pf = pos*8 + flags (flags < 8; arithmetic so negative
+    # sentinel positions order correctly) and, under scrub,
+    # se = start*2^32 + end (both non-negative int32 char offsets —
+    # never null, sentinels carry 0s). A struct<int,int,int,tinyint>
+    # element costs ~48 B in the UnsafeArrayData collect_list buffers
+    # (8 B offset + 8 B null bits + 4 padded fields); struct<long,long>
+    # costs 32 B, and the scrub-off rendering is a FLAT array<bigint>
+    # (8 B/element, no per-element struct at all). The stage-2 mapper
+    # unpacks with three numpy ops. Sort-order equivalence: pos is
+    # unique per doc for token rows, and the only tied positions
+    # (sentinel -1, PII -2) carry run-constant flags, so ordering by
+    # (pos, flags, start, end) == the previous (pos, start, end, flags).
+    pf = (F.col("pos").cast("long") * 8
+          + F.col("flags").cast("long")).alias("pf")
+    if scrub:
+        se = (F.col("start").cast("long") * F.lit(4294967296)
+              + F.col("end").cast("long")).alias("se")
+        tok_agg = F.collect_list(F.struct(pf, se)).alias("toks")
+        arr_cols = [F.col("toks.pf").alias("pf"),
+                    F.col("toks.se").alias("se")]
+    else:
+        tok_agg = F.collect_list(pf).alias("toks")
+        arr_cols = [F.col("toks").alias("pf")]
     # NO sort_array: collect_list order is partition-arbitrary, and the
-    # stage-2 mapper re-establishes the exact struct order with ONE
-    # vectorized np.lexsort per batch — the JVM was sorting one struct
-    # array PER DOC inside the aggregate
+    # stage-2 mapper re-establishes the exact order with ONE vectorized
+    # np.lexsort per batch — the JVM was sorting one struct array PER
+    # DOC inside the aggregate
     grouped = (painted.groupBy("doc_key")
                .agg(F.max("url").alias("url"),
                     F.max("n_chars").alias("n_chars"),
                     F.max("lang_pred").alias("lang_pred"),
                     F.min("lang_ok").alias("lang_ok"),
-                    F.collect_list(F.struct(*struct_cols))
-                    .alias("toks"))
+                    tok_agg)
                .select("url", "n_chars", "lang_pred", "lang_ok", *arr_cols))
     eps_good = bool(total) and (1.0 / (10.0 * total) >= cfg.lm_threshold)
     # mapInArrow, not mapInPandas: the Arrow->pandas conversion of four
