@@ -75,15 +75,20 @@ def pagerank_int(edges: DataFrame, iterations: int = 10,
              .unionByName(edges.select(F.col("dst").alias("host")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
+    # deg is loop-invariant: attach it to the edge table ONCE instead
+    # of re-joining it inside every iteration (10 broadcast joins ->
+    # one pre-joined, materialized table; inner join is lossless here
+    # because every edge's src has a degree row by construction)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = (edges.join(deg, "src")
+                 .select("src", "dst", "deg").localCheckpoint(eager=True))
     base = (15 * PR_SCALE) // (100 * n)
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n))
     for it in range(iterations):
         # `div`, never `/`: long / long in Spark is a DOUBLE divide and
         # its correctly-rounded result can cross an integer boundary
         # that exact floor division does not — `div` stays integral
-        contrib = (ranks.join(edges, ranks["host"] == edges["src"])
-                   .join(deg, "src")
+        contrib = (ranks.join(edges_deg, ranks["host"] == edges_deg["src"])
                    .select(F.col("dst").alias("host"),
                            F.expr("rank div deg").alias("share"))
                    .groupBy("host").agg(F.sum("share").alias("inflow")))
